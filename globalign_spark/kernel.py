@@ -1,0 +1,276 @@
+"""Pure numpy Gotoh (affine-gap Needleman-Wunsch) kernel, cost-space.
+
+Reproduces the alignment semantics of the reference engine exactly
+(scores/costs bit-for-bit):
+  - DP init:       /root/reference/src/globalign/globaligner.py:756-821
+  - forward pass:  /root/reference/src/globalign/globaligner.py:317-392
+  - traceback:     /root/reference/src/globalign/globaligner.py:395-593
+  - final cost:    min over 3 levels at (m, n)  (globaligner.py:425)
+
+but is architected for Spark: :func:`align_cost_batch` scores a whole batch
+of pairs at once with numpy row sweeps vectorized **across the batch** (one
+python-level loop over rows, everything else SIMD), using rolling rows
+(O(batch * n) memory, no full tables). This is what runs inside the Arrow
+pandas UDF on executors. :func:`align_full` is the single-pair path with
+full tables + deterministic traceback, used for parity tests and sampled
+audits.
+
+Three DP "levels" as in the reference:
+  level 0 (M): last move was match/mismatch (diagonal)
+  level 1 (I): last move was a gap in seq_1 (horizontal, consumes seq_2)
+  level 2 (D): last move was a gap in seq_2 (vertical, consumes seq_1)
+
+Recurrence (costs, all integer):
+  M[i,j] = min(M,I,D)[i-1,j-1] + cost(a_i, b_j)
+  I[i,j] = min(M[i,j-1]+go, I[i,j-1], D[i,j-1]+go) + cost('-', b_j)
+  D[i,j] = min(M[i-1,j]+go, I[i-1,j]+go, D[i-1,j]) + cost(a_i, '-')
+
+The I-row is a prefix-scan, vectorized with the classic transform
+  I[i,j] = cumc[j] + min( I[i,0]-cumc[0], min_{k<j} (G[k] - cumc[k]) ),
+  G[k] = min(M[i,k], D[i,k]) + go,  cumc[j] = sum_{t<=j} cost('-', b_t)
+so each row is O(n) numpy ops with `np.minimum.accumulate` — no inner loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import AlignParams
+from .matrices import costing_mat_to_luts, get_max_val, deltas
+
+
+def encode(seq: str) -> np.ndarray:
+    """ASCII code points as uint8. Sequences are validated upstream to be
+    ASCII without the reserved gap character '-'."""
+    return np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+
+
+class CompiledParams:
+    """AlignParams compiled to numpy LUTs; built once per executor task."""
+
+    __slots__ = ("sub", "dele", "ins", "go", "max_cost", "max_score",
+                 "delta_d", "delta_i")
+
+    def __init__(self, params: AlignParams):
+        costing = params.costing_dict()
+        self.sub, self.dele, self.ins = costing_mat_to_luts(costing)
+        self.go = int(params.gap_open_cost)
+        self.max_cost = int(get_max_val(costing))
+        self.max_score = int(params.max_score)
+        self.delta_d, self.delta_i = deltas(self.max_score)
+
+    def final_score(self, cost: np.ndarray, m: np.ndarray, n: np.ndarray):
+        """score = n*delta_d + m*delta_i - cost (conclude.py:154-177)."""
+        return n * self.delta_d + m * self.delta_i - cost
+
+
+def align_cost_batch(
+    seqs1: list[str],
+    seqs2: list[str],
+    cp: CompiledParams,
+) -> np.ndarray:
+    """Minimal alignment costs for a batch of pairs (int64 array, len B).
+
+    Vectorized across the batch: pads to the batch max lengths and sweeps
+    rows once; per-pair results are captured at row m_p, column n_p (padding
+    rows/columns never influence cells inside a pair's true table because
+    the DP only reads up-and-left).
+    """
+    B = len(seqs1)
+    if B == 0:
+        return np.empty(0, dtype=np.int64)
+    m = np.array([len(s) for s in seqs1], dtype=np.int64)
+    n = np.array([len(s) for s in seqs2], dtype=np.int64)
+    if (m == 0).any() or (n == 0).any():
+        raise ValueError("zero-length sequence in batch")
+    m_max = int(m.max())
+    n_max = int(n.max())
+
+    A = np.zeros((B, m_max), dtype=np.uint8)
+    Bc = np.zeros((B, n_max), dtype=np.uint8)
+    for p, s in enumerate(seqs1):
+        A[p, : m[p]] = encode(s)
+    for p, s in enumerate(seqs2):
+        Bc[p, : n[p]] = encode(s)
+    # Padded positions hold code 0; LUT row/col 0 is the huge unknown-char
+    # sentinel, which is harmless (never read inside a pair's true table).
+    # Clamp to a real in-alphabet cost to keep cumulative sums small: use 0.
+    dele_lut = cp.dele.copy()
+    ins_lut = cp.ins.copy()
+    dele_lut[0] = 0
+    ins_lut[0] = 0
+
+    go = np.int64(cp.go)
+    # Reference big-number sentinel, per pair: (max_cost + 1) * max(m, n)
+    # (globaligner.py:777). Kept exact for bit-parity in edge regimes.
+    bign = ((cp.max_cost + 1) * np.maximum(m, n)).astype(np.int64)[:, None]
+
+    # Horizontal step costs per column and their prefix sums.
+    # hcost[:, j] = cost('-', b_j) for j = 1..n_max  (index 0 unused = 0)
+    hcost = np.zeros((B, n_max + 1), dtype=np.int64)
+    hcost[:, 1:] = dele_lut[Bc]
+    cumc = np.cumsum(hcost, axis=1)
+
+    # Row 0 init (globaligner.py:778-809): corner (0,0,0); level-1 chain
+    # along the top row opens one gap then extends.
+    Mrow = np.broadcast_to(bign, (B, n_max + 1)).copy()
+    Irow = go + cumc
+    Drow = np.broadcast_to(bign, (B, n_max + 1)).copy()
+    Mrow[:, 0] = 0
+    Irow[:, 0] = 0
+    Drow[:, 0] = 0
+
+    out = np.empty(B, dtype=np.int64)
+    col = np.arange(B)
+
+    # Pairs whose seq_1 is exhausted at row 0 cannot happen (m >= 1).
+    for i in range(1, m_max + 1):
+        ai = A[:, i - 1]
+        vcost = ins_lut[ai].astype(np.int64)
+
+        # Level 2 (vertical). Column 0 follows the reference's border chain:
+        # open once at i == 1, then pure extension (globaligner.py:812-819).
+        Dnew = np.minimum(np.minimum(Mrow + go, Irow + go), Drow) + vcost[:, None]
+        if i == 1:
+            Dnew[:, 0] = go + vcost
+        else:
+            Dnew[:, 0] = Drow[:, 0] + vcost
+
+        # Level 0 (diagonal).
+        prevmin = np.minimum(np.minimum(Mrow, Irow), Drow)
+        Mnew = np.empty_like(Mrow)
+        Mnew[:, 0] = bign[:, 0]
+        Mnew[:, 1:] = prevmin[:, :-1] + cp.sub[ai[:, None], Bc]
+
+        # Level 1 (horizontal) via prefix-min scan.
+        G = np.minimum(Mnew, Dnew) + go
+        W = G - cumc
+        W[:, 0] = np.minimum(W[:, 0], bign[:, 0])  # I[i,0] = bign candidate
+        runmin = np.minimum.accumulate(W, axis=1)
+        Inew = np.empty_like(Irow)
+        Inew[:, 0] = bign[:, 0]
+        Inew[:, 1:] = cumc[:, 1:] + runmin[:, :-1]
+
+        Mrow, Irow, Drow = Mnew, Inew, Dnew
+
+        done = np.nonzero(m == i)[0]
+        if done.size:
+            nj = n[done]
+            out[done] = np.minimum(
+                np.minimum(Mrow[done, nj], Irow[done, nj]), Drow[done, nj]
+            )
+    return out
+
+
+def align_score_batch(seqs1, seqs2, params: AlignParams):
+    """(cost, score) int64 arrays for a batch of pairs."""
+    cp = CompiledParams(params)
+    cost = align_cost_batch(seqs1, seqs2, cp)
+    m = np.array([len(s) for s in seqs1], dtype=np.int64)
+    n = np.array([len(s) for s in seqs2], dtype=np.int64)
+    return cost, cp.final_score(cost, m, n)
+
+
+def _dp_tables(seq_1: str, seq_2: str, cp: CompiledParams):
+    """Full (m+1, n+1) M/I/D tables for one pair (for traceback/tests)."""
+    m, n = len(seq_1), len(seq_2)
+    a = encode(seq_1)
+    b = encode(seq_2)
+    go = np.int64(cp.go)
+    bign = np.int64((cp.max_cost + 1) * max(m, n))
+
+    hcost = np.zeros(n + 1, dtype=np.int64)
+    hcost[1:] = cp.dele[b]
+    cumc = np.cumsum(hcost)
+
+    M = np.full((m + 1, n + 1), bign, dtype=np.int64)
+    I = np.full((m + 1, n + 1), bign, dtype=np.int64)
+    D = np.full((m + 1, n + 1), bign, dtype=np.int64)
+    M[0, 0] = I[0, 0] = D[0, 0] = 0
+    I[0, 1:] = go + cumc[1:]
+    vcosts = cp.ins[a].astype(np.int64)
+    D[1:, 0] = go + np.cumsum(vcosts)
+
+    for i in range(1, m + 1):
+        vc = vcosts[i - 1]
+        D[i, 1:] = (
+            np.minimum(np.minimum(M[i - 1, 1:] + go, I[i - 1, 1:] + go), D[i - 1, 1:])
+            + vc
+        )
+        prevmin = np.minimum(np.minimum(M[i - 1], I[i - 1]), D[i - 1])
+        M[i, 1:] = prevmin[:-1] + cp.sub[a[i - 1], b]
+        G = np.minimum(M[i], D[i]) + go
+        W = G - cumc
+        W[0] = min(W[0], bign)
+        runmin = np.minimum.accumulate(W)
+        I[i, 1:] = cumc[1:] + runmin[:-1]
+    return M, I, D
+
+
+def align_full(seq_1: str, seq_2: str, params: AlignParams):
+    """Optimal alignment of one pair with deterministic traceback.
+
+    Returns dict(seq_1_aligned, middle_part, seq_2_aligned, cost, score).
+    Ties are broken deterministically (diagonal > gap-in-seq_1 >
+    gap-in-seq_2); the reference breaks ties with unseeded random.choice
+    (globaligner.py:595-685), so only cost/score are bit-parity targets and
+    aligned strings match on tie-free cases.
+    """
+    cp = CompiledParams(params)
+    m, n = len(seq_1), len(seq_2)
+    M, I, D = _dp_tables(seq_1, seq_2, cp)
+    cost = int(min(M[m, n], I[m, n], D[m, n]))
+
+    go = cp.go
+    s1_out: list[str] = []
+    mid_out: list[str] = []
+    s2_out: list[str] = []
+
+    i, j = m, n
+    level = int(np.argmin([M[m, n], I[m, n], D[m, n]]))
+    while i > 0 or j > 0:
+        if i == 0:
+            # top row: only horizontal moves remain
+            s1_out.append("-")
+            mid_out.append(" ")
+            s2_out.append(seq_2[j - 1])
+            j -= 1
+            continue
+        if j == 0:
+            s1_out.append(seq_1[i - 1])
+            mid_out.append(" ")
+            s2_out.append("-")
+            i -= 1
+            continue
+        if level == 0:
+            a, b = seq_1[i - 1], seq_2[j - 1]
+            s1_out.append(a)
+            mid_out.append("|" if a == b else "*")
+            s2_out.append(b)
+            cands = (M[i - 1, j - 1], I[i - 1, j - 1], D[i - 1, j - 1])
+            i, j = i - 1, j - 1
+        elif level == 1:
+            s1_out.append("-")
+            mid_out.append(" ")
+            s2_out.append(seq_2[j - 1])
+            cands = (M[i, j - 1] + go, I[i, j - 1], D[i, j - 1] + go)
+            j = j - 1
+        else:
+            s1_out.append(seq_1[i - 1])
+            mid_out.append(" ")
+            s2_out.append("-")
+            cands = (M[i - 1, j] + go, I[i - 1, j] + go, D[i - 1, j])
+            i = i - 1
+        level = int(np.argmin(cands))
+
+    s1_out.reverse()
+    mid_out.reverse()
+    s2_out.reverse()
+    score = int(cp.final_score(np.int64(cost), m, n))
+    return {
+        "seq_1_aligned": "".join(s1_out),
+        "middle_part": "".join(mid_out),
+        "seq_2_aligned": "".join(s2_out),
+        "cost": cost,
+        "score": score,
+    }
