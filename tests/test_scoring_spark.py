@@ -1,0 +1,113 @@
+"""Spark scoring stage == numpy kernel == reference, end to end."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from globalign_spark.config import resolve_params, unit_cost_params
+from globalign_spark.kernel import CompiledParams, align_cost_batch
+from globalign_spark.pipeline.scoring import score_pairs, with_similarity
+from globalign_spark.sources.fixtures import pages_df
+
+
+def _random_pairs(n, seed=7):
+    rng = np.random.Generator(np.random.Philox(seed))
+    alpha = "ACGT"
+    pairs = []
+    for _ in range(n):
+        l1 = int(rng.integers(1, 120))
+        l2 = int(rng.integers(1, 120))
+        s1 = "".join(alpha[i] for i in rng.integers(0, 4, l1))
+        s2 = "".join(alpha[i] for i in rng.integers(0, 4, l2))
+        pairs.append((s1, s2))
+    return pairs
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        resolve_params(alphabet="ACGT"),
+        resolve_params(alphabet="ACGT", match_score=3, mismatch_score=-4,
+                       gap_open_score=-5, gap_extension_score=-2),
+        unit_cost_params("ACGT"),
+    ],
+    ids=["defaults", "custom-scores", "unit-cost"],
+)
+def test_spark_scorer_matches_kernel(spark, params):
+    pairs = _random_pairs(60)
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pair_id long, text_1 string, text_2 string",
+    ).repartition(4)
+    got = {
+        r.pair_id: (r.cost, r.score)
+        for r in score_pairs(df, params).collect()
+    }
+    cp = CompiledParams(params)
+    exp_cost = align_cost_batch([a for a, _ in pairs], [b for _, b in pairs], cp)
+    for i, (a, b) in enumerate(pairs):
+        exp_score = cp.final_score(
+            exp_cost[i], np.int64(len(a)), np.int64(len(b))
+        )
+        assert got[i] == (exp_cost[i], exp_score), (a, b)
+
+
+def test_spark_scorer_matches_reference(spark, reference_align):
+    pairs = _random_pairs(25, seed=13)
+    params = resolve_params(alphabet="ACGT")
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pair_id long, text_1 string, text_2 string",
+    )
+    got = {r.pair_id: (r.cost, r.score) for r in score_pairs(df, params).collect()}
+    for i, (a, b) in enumerate(pairs):
+        ref = reference_align(seq_1=a, seq_2=b)
+        assert got[i] == (ref.cost, ref.score), (a, b)
+
+
+def test_unit_cost_is_levenshtein(spark):
+    """With mismatch=1/gap_open=0/gap_ext=1 the kernel cost IS the classic
+    Levenshtein distance — the property the DuckDB oracle relies on."""
+    import duckdb
+
+    pairs = _random_pairs(40, seed=99)
+    params = unit_cost_params("ACGT")
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "pair_id long, text_1 string, text_2 string",
+    )
+    got = {r.pair_id: r.cost for r in score_pairs(df, params).collect()}
+    for i, (a, b) in enumerate(pairs):
+        exp = duckdb.sql(f"select levenshtein('{a}', '{b}')").fetchone()[0]
+        assert got[i] == exp
+
+
+def test_oversize_routed_not_dropped(spark):
+    params = unit_cost_params("AB")
+    df = spark.createDataFrame(
+        [(0, "A" * 3000, "B" * 3000), (1, "AB", "AB")],
+        "pair_id long, text_1 string, text_2 string",
+    )
+    rows = {r.pair_id: r for r in
+            score_pairs(df, params, cell_cap=1_000_000).collect()}
+    assert rows[0].oversize and rows[0].cost is None
+    assert not rows[1].oversize and rows[1].cost == 0
+
+
+def test_similarity_on_fixture_pages(spark):
+    """Within-entity variant pairs must score near-identical (sim >= 0.8),
+    cross-entity pairs low — the signal the ER threshold relies on."""
+    pages = pages_df(spark, n_entities=40, seed=5).cache()
+    a = pages.select(F.col("url").alias("url_1"), F.col("text").alias("text_1"),
+                     F.col("entity_id").alias("e1"))
+    b = pages.select(F.col("url").alias("url_2"), F.col("text").alias("text_2"),
+                     F.col("entity_id").alias("e2"))
+    cand = a.join(b, F.col("url_1") < F.col("url_2"))
+    scored = with_similarity(score_pairs(cand, unit_cost_params()))
+    rows = scored.collect()
+    same = [r.similarity for r in rows if r.e1 == r.e2]
+    diff = [r.similarity for r in rows if r.e1 != r.e2]
+    assert same and diff
+    assert min(same) > 0.75
+    assert max(diff) < 0.6
+    pages.unpersist()
