@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+All four families from the standard web-corpus dedup toolbox, each with an
+exact DuckDB-SQL twin (hash functions are md5-based specifically so both
+engines compute identical values — xxhash64 exists only in Spark):
+
+  - exact:        md5(text) groupBy, min-doc_id survivor
+  - MinHash+LSH:  k-char shingles -> P md5-min signatures -> banded buckets
+                  -> candidate pairs (shingle->minhash->band->bucket-join)
+  - SimHash:      per-token md5-nibble bits, majority vote -> 32-bit
+                  signature; near-dup = small Hamming distance
+  - n-gram Jaccard: within-block pairwise |A∩B|/|A∪B| on distinct k-grams
+
+Scale notes: everything is built-in array/hash expressions (JVM-side);
+signatures are computed without exploding shingles (arrays stay packed per
+row until the band explode, which is exactly B rows per doc). Band-bucket
+self-joins are capped the same way as pipeline/blocking.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def kgrams(text: Column, k: int = 5) -> Column:
+    """Distinct k-char grams (strings, not hashes — oracle-friendly)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substr(text, i, F.lit(k))))
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """(hash, survivor_id, n_dupes): one row per distinct text; survivor is
+    the minimum id. Plain hash-groupBy — partial aggregation map-side."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("survivor_id"),
+            F.count("*").alias("n_dupes"),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = 5, num_perm: int = 16) -> Column:
+    """array<string> of P minhash values: sig_j = min over shingles s of
+    md5(j || ':' || s). Min over md5 hex strings is a valid uniform minhash
+    (lexicographic order on a uniform 128-bit value) and is bit-identical
+    in any engine with md5."""
+    grams = kgrams(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                grams,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+            )
+        ),
+    )
+
+
+def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """array<string> of per-band keys: md5 of the concatenated band slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.md5(
+            F.concat(
+                b.cast("string"),
+                F.lit("|"),
+                F.array_join(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
+                ),
+            )
+        ),
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    bucket_cap: int = 500,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
+    rows = num_perm // num_bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        band_hashes(
+            minhash_signature(F.col(text_col), k, num_perm), num_bands, rows
+        ).alias("bands"),
+    )
+    exploded = sig.select(
+        "_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    sizes = exploded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bsz")
+    )
+    ok = exploded.join(
+        sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
+        ["band_id", "band_hash"],
+    )
+    a = ok.select("band_id", "band_hash", F.col("_id").alias("id_1"))
+    b = ok.select("band_id", "band_hash", F.col("_id").alias("id_2"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash from whitespace tokens.
+
+    Bit i of a token's hash = (i-th hex nibble of md5(token)) >= 8 — i.e.
+    the high bit of each nibble, 32 bits total. Document bit i is set when
+    the sum over tokens of (+1/-1) votes is positive. Pure string/bit
+    built-ins; identical in DuckDB SQL.
+    """
+    toks = F.filter(F.split(text, " "), lambda t: t != "")
+    hashes = F.transform(toks, lambda t: F.md5(t))
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(31)),
+        lambda i: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.substr(h, i + 1, F.lit(1)).isin(
+                        "8", "9", "a", "b", "c", "d", "e", "f"
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.lit(31)),
+            lambda b, i: b.cast("long") * F.shiftleft(F.lit(1).cast("long"), i),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("simhash", simhash32(F.col(text_col)))
+
+
+def simhash_near_pairs(
+    with_sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the high
+    16 bits (docs differing only in low bits collide; standard multi-probe
+    would rotate the block — one probe here)."""
+    blocked = with_sim.select(
+        F.col(id_col).alias("id"),
+        F.col("simhash"),
+        F.shiftright("simhash", 16).alias("blk"),
+    )
+    a = blocked.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")
+    b = blocked.select(F.col("id").alias("id_2"), F.col("simhash").alias("s2"), "blk")
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+    return (
+        a.join(b, "blk")
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Within-block pairwise k-gram Jaccard similarity >= threshold.
+    jaccard = |A∩B| / |A∪B| on distinct k-grams; rounded to 6 dp."""
+    g = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        kgrams(F.col(text_col), k).alias("_grams"),
+    )
+    a = g.select(
+        F.col("_blk"), F.col("_id").alias("id_1"), F.col("_grams").alias("g1")
+    )
+    b = g.select(
+        F.col("_blk"), F.col("_id").alias("id_2"), F.col("_grams").alias("g2")
+    )
+    inter = F.size(F.array_intersect("g1", "g2"))
+    union = F.size("g1") + F.size("g2") - inter
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )

@@ -1,0 +1,176 @@
+"""Similarity search over an embedding column (array<float>).
+
+  - brute_force_topk: exact cosine top-k per query — broadcast the (small)
+    query set against the (huge) corpus; one shuffle for the per-query top-k
+    window. The 100 TB baseline path.
+  - lsh_bucket_topk: random-hyperplane LSH variant — corpus and queries are
+    bucketed by sign bits of dot products with R fixed hyperplanes; only
+    same-bucket candidates are scored. The scale path: candidate count drops
+    by ~2^R with recall controlled by R (multi-probe = union of buckets at
+    Hamming distance <= 1, so near-boundary vectors are not lost).
+  - embedding_near_dup_pairs: within-block pairwise cosine >= threshold.
+
+Dot products are `F.aggregate(F.zip_with(...))` over double-cast arrays —
+JVM-side, strict left-to-right summation, so DuckDB's list_dot_product /
+list_cosine_similarity on the same doubles are exact twins (verified in
+tests). Hyperplanes are seeded Python constants inlined into both the Spark
+plan and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic random hyperplanes, rounded so they inline exactly into
+    SQL text for the oracle."""
+    rng = np.random.Generator(np.random.Philox(seed))
+    return [
+        [round(float(x), 6) for x in rng.standard_normal(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def bucket_of(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id = sign-bit integer over the hyperplane dot products."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(w) for w in plane])) >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim, rank): exact top-k neighbors per
+    query (self-matches excluded). The query side is broadcast."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 7,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors whose LSH bucket is
+    within Hamming distance <= 1 of the query's bucket (multiprobe)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("bucket", bucket_of(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qbucket", bucket_of(F.col("qv"), planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[
+                F.col("qbucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = q.withColumnRenamed("qbucket", "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cos_sim")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Within-block pairwise cosine >= threshold (embedding near-dup)."""
+    g = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("_id"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    a = g.select("_blk", F.col("_id").alias("id_1"), F.col("_v").alias("v1"))
+    b = g.select("_blk", F.col("_id").alias("id_2"), F.col("_v").alias("v2"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_1") < F.col("id_2"))
+        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .where(F.col("cos_sim") >= threshold)
+        .select("id_1", "id_2", "cos_sim")
+    )

@@ -1,0 +1,160 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+Everything here is pure built-in column expressions (whole-stage codegen;
+no Python UDFs in any hot path). Each operator has an exact ANSI-SQL twin in
+``__spark_entry__.oracle_sql`` so the DuckDB harness verifies values, not
+just shapes.
+
+Operators:
+  - token_count:      whitespace tokens + BPE-ish regex token count
+  - quality_score:    length/punctuation/stopword-ratio heuristic
+  - lang_id:          marker-stopword n-gram heuristic with argmax
+  - doc_fingerprint:  winnowing-style rolling-hash fingerprints (k-gram
+                      md5 hashes, sliding-window minima, distinct)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "from",
+]
+
+# Marker words per language for the n-gram/stopword lang-id heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "with", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "que", "para", "por", "con"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization with empties removed — identical semantics to
+    the SQL twin (split on single space, filter '')."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def add_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.withColumn("ws_tokens", F.size(ws_tokens(t))).withColumn(
+        "bpe_tokens", F.size(F.regexp_extract_all(t, F.lit(BPE_TOKEN_RE), 0))
+    )
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    toks = ws_tokens(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9 ]"), 0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "stopword_ratio": n_stop / F.greatest(n_tokens, F.lit(1)),
+        "punct_ratio": n_punct / F.greatest(n_chars, F.lit(1)),
+        "mean_token_len": (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1)),
+    }
+
+
+def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality heuristic in [0,1]: rewards mid-length docs with
+    some stopwords and sane word lengths, punishes punctuation soup.
+    score = 0.4*min(n_tokens/100,1) + 0.3*min(stop_ratio*5,1)
+          + 0.3*max(0, 1 - |mean_token_len - 5|/5) - punct_ratio
+    clamped to [0,1]; rounded to 6 dp (stable across engines)."""
+    f = quality_features(F.col(text_col))
+    raw = (
+        0.4 * F.least(f["n_tokens"] / F.lit(100.0), F.lit(1.0))
+        + 0.3 * F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+        + 0.3
+        * F.greatest(
+            F.lit(0.0), 1.0 - F.abs(f["mean_token_len"] - 5.0) / F.lit(5.0)
+        )
+        - f["punct_ratio"]
+    )
+    score = F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 6)
+    return (
+        df.withColumn("n_tokens", f["n_tokens"])
+        .withColumn("stopword_ratio", F.round(f["stopword_ratio"], 6))
+        .withColumn("quality_score", score)
+    )
+
+
+def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word lang-id: hits(lang) = |tokens ∩ markers(lang)| per doc;
+    predicted = argmax hits with deterministic tie-break on language code
+    (alphabetical, 'und' if zero hits everywhere)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    hit_cols = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(LANG_MARKERS.items())
+    ]
+    # array_max on struct(hits, lang): max hits, ties -> max lang code.
+    # To get alphabetical-min tie-break, compare on (hits, negated lang) is
+    # not expressible; instead sort desc by hits then asc lang via sort_array
+    # of struct(-hits, lang) and take element 1.
+    best = F.sort_array(
+        F.array(
+            *[
+                F.struct(
+                    (-c["hits"]).alias("neg_hits"), c["lang"].alias("lang")
+                )
+                for c in hit_cols
+            ]
+        )
+    )[0]
+    pred = F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn("pred_lang", pred).withColumn(
+        "lang_hits", -best["neg_hits"]
+    )
+
+
+def kgram_hashes(text: Column, k: int = 8) -> Column:
+    """md5 hex of every k-char gram (position order kept — not distinct)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.md5(F.substr(text, i, F.lit(k))))
+
+
+def add_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003 shape): the
+    distinct set of per-window minima over k-gram hashes. Robust to local
+    edits; the standard content-fingerprint for near-dup sweeps."""
+    hashes = kgram_hashes(F.col(text_col), k)
+    win_idx = F.sequence(
+        F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    )
+    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    return df.withColumn("fingerprints", F.array_sort(F.array_distinct(mins)))
+
+
+def fingerprint_overlap_pairs(
+    df: DataFrame, id_col: str = "doc_id", min_common: int = 2
+) -> DataFrame:
+    """Docs sharing >= min_common winnowing fingerprints (explode -> equi
+    self-join on fingerprint -> count per pair)."""
+    fp = df.select(
+        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
+    )
+    a = fp.select(F.col("id").alias("id_1"), "fp")
+    b = fp.select(F.col("id").alias("id_2"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

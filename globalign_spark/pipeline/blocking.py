@@ -1,0 +1,214 @@
+"""Stages 1-2 — blocking keys and candidate-pair generation.
+
+Two complementary blocking strategies, both shuffle-disciplined for the
+10^12-row regime (SURVEY.md §2.4 J1-J3):
+
+1. **MinHash LSH bands** (primary, text-similarity driven). Character
+   shingles -> xxhash64 (JVM-side) -> P permutation minima computed in one
+   Arrow-vectorized numpy pass -> band hashes -> posexplode -> self-join on
+   (band_id, band_hash). Bucket-size capping keeps any band bucket from
+   going quadratic; dropped buckets are *counted*, not silently discarded.
+
+2. **Sorted-neighborhood within host** (secondary, URL-structure driven).
+   Instead of an all-pairs self-join per host — which explodes on hot hosts
+   (Zipfian, top host ~20% of a crawl) — each row pairs with its W
+   successors in a per-host sorted order (window + leads). Linear in block
+   size: the skew-proof formulation of "block by host".
+
+Plus an explicit salted equi-join utility (J2) for joining a skewed
+fact side against a keyed dimension side.
+
+The reference has no joins (single-pair kernel, SURVEY.md §2.4); all of
+this layer is new, Spark-idiomatic design.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+# Mersenne prime 2^61 - 1: universal-hash modulus for the permutations.
+_MERSENNE = (1 << 61) - 1
+
+
+def shingle_hashes(text, k: int = 5):
+    """Distinct k-char shingle hashes of a text column (JVM-side only).
+
+    sequence+transform+xxhash64: no Python, no explode (array stays packed
+    per row, so no shuffle amplification before the signature step).
+    """
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.substr(text, i, F.lit(k))))
+    )
+
+
+def _perm_params(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.Philox(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_col(df: DataFrame, hashes_col: str, num_perm: int = 64,
+                          seed: int = 1) -> DataFrame:
+    """Append ``signature: array<long>`` (length num_perm) from a column of
+    shingle-hash arrays. One Arrow-vectorized pandas pass: for each row,
+    sig_j = min_s ((a_j * h_s + b_j) mod M) over its shingle hashes s.
+    """
+    a, b = _perm_params(num_perm, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(hs: pd.Series) -> pd.Series:
+        out = []
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        for h in hs:
+            hv = np.asarray(h, dtype=np.uint64)
+            if hv.size == 0:
+                out.append(np.zeros(num_perm, dtype=np.int64))
+                continue
+            # (a*h + b) mod M, computed in uint64 with explicit mod to stay
+            # exact: reduce h first, then one Barrett-free double mod.
+            vals = (hv[None, :] % _MERSENNE) * (au[:, None] % _MERSENNE)
+            vals = (vals % _MERSENNE + bu[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64))
+        return pd.Series(out)
+
+    return df.withColumn("signature", sig(F.col(hashes_col)))
+
+
+def band_keys_col(signature, num_bands: int, num_perm: int):
+    """array of per-band hashes: band b = xxhash64 over its signature slice
+    (array slicing + xxhash64 of an array column — JVM-side)."""
+    rows = num_perm // num_bands
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda bidx: F.xxhash64(bidx, F.slice(signature, bidx * rows + 1, rows)),
+    )
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    num_bands: int = 16,
+    bucket_cap: int = 200,
+    seed: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate id pairs from banded MinHash LSH.
+
+    Returns (pairs, stats): pairs(id_1, id_2) distinct with id_1 < id_2;
+    stats is a 1-row frame of bucket/candidate accounting (lineage — nothing
+    is silently dropped).
+    """
+    with_sig = minhash_signature_col(
+        df.select(F.col(id_col).alias("_id"),
+                  shingle_hashes(F.col(text_col), shingle_k).alias("_hs")),
+        "_hs", num_perm=num_perm, seed=seed,
+    )
+    bands = with_sig.select(
+        "_id",
+        F.posexplode(band_keys_col(F.col("signature"), num_bands, num_perm)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    # Bucket-size accounting; cap protects against degenerate buckets
+    # (boilerplate pages) going quadratic.
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
+    stats = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("bsz") > bucket_cap, 1).otherwise(0)).alias(
+            "n_buckets_over_cap"
+        ),
+        F.sum(F.when(F.col("bsz") > bucket_cap, F.col("bsz")).otherwise(0)).alias(
+            "n_rows_in_over_cap"
+        ),
+        F.max("bsz").alias("max_bucket"),
+    )
+    ok = bands.join(
+        sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
+        ["band_id", "band_hash"],
+    )
+    a = ok.select("band_id", "band_hash", F.col("_id").alias("id_1"))
+    b = ok.select("band_id", "band_hash", F.col("_id").alias("id_2"))
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    return pairs, stats
+
+
+def sorted_neighborhood_candidates(
+    df: DataFrame,
+    id_col: str = "url",
+    key_col: str = "host",
+    order_col: str = "norm_text",
+    window: int = 3,
+) -> DataFrame:
+    """Linear-cost within-block candidates: sort each block, pair each row
+    with its next `window` neighbors. Hot blocks cost O(n·w), never O(n²) —
+    this is the explicit skew handling for Zipfian host blocks.
+    """
+    w = Window.partitionBy(key_col).orderBy(order_col, id_col)
+    leads = [F.lead(id_col, i).over(w).alias(f"_n{i}") for i in range(1, window + 1)]
+    wide = df.select(F.col(id_col).alias("id_1"), *leads)
+    nbrs = F.array_compact(F.array(*[F.col(f"_n{i}") for i in range(1, window + 1)]))
+    return (
+        wide.select("id_1", F.explode(nbrs).alias("id_2"))
+        .select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+        )
+        .distinct()
+    )
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, key: str, n_salt: int = 8
+) -> DataFrame:
+    """Explicit salted equi-join (J2): append a random-ish salt on the big
+    side, explode the small side across all salts, join on (key, salt).
+    Deterministic salt (hash of the row) so retries are stable.
+    """
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salt)).cast("int")
+    )
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>"))
+    )
+    return salted_big.join(salted_small, [key, "_salt"]).drop("_salt")
+
+
+def attach_texts(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    repartition_to: int | None = None,
+) -> DataFrame:
+    """(id_1, id_2) -> (id_1, text_1, id_2, text_2), repartitioned by pair
+    hash so downstream Arrow scoring batches are balanced regardless of how
+    skewed the blocking keys were.
+    """
+    t = df.select(F.col(id_col).alias("_jid"), F.col(text_col).alias("_jtext"))
+    out = (
+        pairs.join(t.withColumnRenamed("_jid", "id_1"), "id_1")
+        .withColumnRenamed("_jtext", "text_1")
+        .join(
+            t.withColumnRenamed("_jid", "id_2").withColumnRenamed("_jtext", "text_2"),
+            "id_2",
+        )
+        .select("id_1", "text_1", "id_2", "text_2")
+    )
+    n = repartition_to or out.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return out.repartition(int(n), F.xxhash64("id_1", "id_2"))

@@ -1,0 +1,69 @@
+"""Stage 6 — evaluation joins and per-stage lineage/metrics (SURVEY §2.4 J4).
+
+Pairwise precision/recall/F1 of predicted clusters against labeled pairs,
+computed with semi/anti joins (never collects pair sets to the driver).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def predicted_pairs(components: DataFrame) -> DataFrame:
+    """(id, component) -> all predicted positive pairs (id_1 < id_2).
+
+    Within-component self-join; components are near-duplicate clusters
+    (small by construction), so this is bounded. A size cap guards the
+    pathological all-in-one-cluster regime.
+    """
+    a = components.select(F.col("component").alias("c"), F.col("id").alias("id_1"))
+    b = components.select(F.col("component").alias("c"), F.col("id").alias("id_2"))
+    return (
+        a.join(b, "c")
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+    )
+
+
+def pairwise_prf(pred: DataFrame, truth: DataFrame) -> dict:
+    """Precision/recall/F1 over pair sets keyed by (id_1, id_2) ~ (url_1, url_2)."""
+    p = pred.select(
+        F.col(pred.columns[0]).alias("u1"), F.col(pred.columns[1]).alias("u2")
+    ).distinct()
+    t = truth.select(
+        F.col(truth.columns[0]).alias("u1"), F.col(truth.columns[1]).alias("u2")
+    ).distinct()
+    n_pred = p.count()
+    n_truth = t.count()
+    tp = p.join(t, ["u1", "u2"], "left_semi").count()
+    precision = tp / n_pred if n_pred else 1.0
+    recall = tp / n_truth if n_truth else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if precision + recall
+        else 0.0
+    )
+    return {
+        "n_pred": n_pred,
+        "n_truth": n_truth,
+        "tp": tp,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+    }
+
+
+def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
+    """Per-partition lineage rows for a stage output: (stage, partition_id,
+    n_rows) — appended to the run's lineage table by the orchestrator."""
+    return (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count("*").alias("n_rows"))
+        .select(
+            F.lit(stage).alias("stage"),
+            F.col("_pid").alias("partition_id"),
+            "n_rows",
+        )
+    )

