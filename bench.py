@@ -1,0 +1,191 @@
+"""Benchmark harness.
+
+Default mode: run the headline queries from __spark_entry__ at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "pairs_scored": N, "pairs_scored_per_sec": R}
+
+Scaling mode (--scaling): run the pairwise-alignment scoring job at two
+parallelism levels (local[8] vs local[32]) on identical input via
+subprocesses (fresh JVM each), report throughput at both plus scaling
+efficiency = (T8/T32)/4 — the sandbox stand-in for the north rule's
+N -> 4N executor criterion. Results appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "align_pairs",
+    "er_end_to_end",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "simhash",
+    "ngram_jaccard",
+    "fingerprints",
+    "lang_id",
+    "quality",
+    "token_counts",
+    "ann_topk",
+    "ann_lsh",
+    "embedding_near_dup",
+    "sorted_neighborhood",
+    "events_window",
+    "agg_lineitem",
+    "join_topk",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        # count() forces full execution without driver-side materialization
+        qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def _count_pairs(spark, sf_dir: str) -> int:
+    import __spark_entry__ as entry
+
+    return entry.q_align_pairs(spark, sf_dir).count()
+
+
+def bench_main(args) -> dict:
+    from globalign_spark.session import get_spark
+
+    sf_dir = args.sf_dir
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", 32))
+    spark = get_spark("bench", master=args.master or f"local[{cpus}]")
+    # warm-up: JVM + Arrow + parquet footer caches, tiny scale
+    _run_queries(spark, "/root/testdata/sf0.001", ["dedup_exact"])
+
+    names = args.queries.split(",") if args.queries else HEADLINE
+    t0 = time.time()
+    times = _run_queries(spark, sf_dir, names)
+    total = round(time.time() - t0, 3)
+
+    n_pairs = _count_pairs(spark, sf_dir)
+    align_sec = times.get("align_pairs")
+    out = {
+        "metric": "headline-queries wall time (sum)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(sf_dir),
+        "pairs_scored": n_pairs,
+        "pairs_scored_per_sec": (
+            round(n_pairs / align_sec, 1) if align_sec else None
+        ),
+        "master": spark.sparkContext.master,
+    }
+    spark.stop()
+    return out
+
+
+def one_scaling_run(args) -> dict:
+    """Child process: score all candidate pairs once, report throughput."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from globalign_spark.session import get_spark
+
+    spark = get_spark("scaling", master=args.master)
+    df = entry.q_align_pairs(spark, args.sf_dir)
+    df.count()  # warm-up run (JVM JIT, parquet cache)
+    t0 = time.time()
+    n = df.count()
+    wall = time.time() - t0
+    out = {
+        "master": args.master,
+        "pairs": n,
+        "wall_sec": round(wall, 3),
+        "pairs_per_sec": round(n / wall, 1),
+    }
+    spark.stop()
+    return out
+
+
+def scaling_main(args) -> dict:
+    results = []
+    for master in ("local[8]", "local[32]"):
+        cmd = [
+            sys.executable, __file__, "--one-scaling-run",
+            "--master", master, "--sf-dir", args.sf_dir,
+        ]
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=str(REPO), check=True
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+    r8, r32 = results
+    eff = round((r32["pairs_per_sec"] / r8["pairs_per_sec"]) / 4.0, 3)
+    report = {
+        "metric": "pairs-scored/sec at local[8] vs local[32]",
+        "sf": _sf_of(args.sf_dir),
+        "local8": r8,
+        "local32": r32,
+        "scaling_efficiency_8_to_32": eff,
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    bench_dir = REPO / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "SCALING.json").write_text(json.dumps(report, indent=1))
+    md = bench_dir / "BASELINE.md"
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with md.open("a") as f:
+        f.write(
+            f"\n## Scaling run {stamp} (sf={report['sf']})\n\n"
+            f"| parallelism | pairs | wall s | pairs/s |\n|---|---|---|---|\n"
+            f"| local[8] | {r8['pairs']} | {r8['wall_sec']} | {r8['pairs_per_sec']} |\n"
+            f"| local[32] | {r32['pairs']} | {r32['wall_sec']} | {r32['pairs_per_sec']} |\n\n"
+            f"Scaling efficiency (T8/T32)/4 = **{eff}** "
+            f"(target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n"
+        )
+    return report
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--master", default=None)
+    p.add_argument("--queries", default=None)
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--one-scaling-run", action="store_true")
+    args = p.parse_args()
+    if args.one_scaling_run:
+        print(json.dumps(one_scaling_run(args)))
+    elif args.scaling:
+        print(json.dumps(scaling_main(args)))
+    else:
+        print(json.dumps(bench_main(args)))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,73 +92,89 @@ def align_cost_batch(
         A[p, : m[p]] = encode(s)
     for p, s in enumerate(seqs2):
         Bc[p, : n[p]] = encode(s)
-    # Padded positions hold code 0; LUT row/col 0 is the huge unknown-char
-    # sentinel, which is harmless (never read inside a pair's true table).
-    # Clamp to a real in-alphabet cost to keep cumulative sums small: use 0.
-    dele_lut = cp.dele.copy()
-    ins_lut = cp.ins.copy()
+    # int32 lattices: all real costs are bounded by bign = (max_cost+1) *
+    # max(m, n) <= ~(2^15)*(2^13) plus per-cell adds — far inside int32.
+    # Padded positions hold code 0; LUT row/col 0 is the unknown-char
+    # sentinel, clamped to 0 here to keep cumulative sums small (those cells
+    # are never read inside a pair's true table).
+    sub_lut = cp.sub.astype(np.int32)
+    dele_lut = cp.dele.astype(np.int32)
+    ins_lut = cp.ins.astype(np.int32)
     dele_lut[0] = 0
     ins_lut[0] = 0
 
-    go = np.int64(cp.go)
+    go = np.int32(cp.go)
     # Reference big-number sentinel, per pair: (max_cost + 1) * max(m, n)
     # (globaligner.py:777). Kept exact for bit-parity in edge regimes.
-    bign = ((cp.max_cost + 1) * np.maximum(m, n)).astype(np.int64)[:, None]
+    bign = ((cp.max_cost + 1) * np.maximum(m, n)).astype(np.int32)[:, None]
 
     # Horizontal step costs per column and their prefix sums.
-    # hcost[:, j] = cost('-', b_j) for j = 1..n_max  (index 0 unused = 0)
-    hcost = np.zeros((B, n_max + 1), dtype=np.int64)
-    hcost[:, 1:] = dele_lut[Bc]
-    cumc = np.cumsum(hcost, axis=1)
+    # cumc[:, j] = sum_{t<=j} cost('-', b_t)  (index 0 = 0)
+    cumc = np.zeros((B, n_max + 1), dtype=np.int32)
+    np.cumsum(dele_lut[Bc], axis=1, out=cumc[:, 1:])
 
     # Row 0 init (globaligner.py:778-809): corner (0,0,0); level-1 chain
     # along the top row opens one gap then extends.
     Mrow = np.broadcast_to(bign, (B, n_max + 1)).copy()
     Irow = go + cumc
-    Drow = np.broadcast_to(bign, (B, n_max + 1)).copy()
+    Drow = Mrow.copy()
     Mrow[:, 0] = 0
     Irow[:, 0] = 0
     Drow[:, 0] = 0
 
     out = np.empty(B, dtype=np.int64)
-    col = np.arange(B)
 
-    # Pairs whose seq_1 is exhausted at row 0 cannot happen (m >= 1).
+    # Preallocated scratch (reused every row; all ops write via out=).
+    Mnew = np.empty_like(Mrow)
+    Dnew = np.empty_like(Mrow)
+    Inew = np.empty_like(Mrow)
+    MI = np.empty_like(Mrow)
+    prevmin = np.empty_like(Mrow)
+    W = np.empty_like(Mrow)
+
     for i in range(1, m_max + 1):
         ai = A[:, i - 1]
-        vcost = ins_lut[ai].astype(np.int64)
+        vcost = ins_lut[ai]
 
-        # Level 2 (vertical). Column 0 follows the reference's border chain:
-        # open once at i == 1, then pure extension (globaligner.py:812-819).
-        Dnew = np.minimum(np.minimum(Mrow + go, Irow + go), Drow) + vcost[:, None]
+        # Shared min of levels 0/1 from the previous row.
+        np.minimum(Mrow, Irow, out=MI)
+
+        # Level 2 (vertical): min(min(M,I)+go, D) + cost(a_i,'-'). Column 0
+        # follows the reference's border chain: open once at i == 1, then
+        # pure extension (globaligner.py:812-819).
+        np.add(MI, go, out=Dnew)
+        np.minimum(Dnew, Drow, out=Dnew)
+        Dnew += vcost[:, None]
         if i == 1:
             Dnew[:, 0] = go + vcost
         else:
             Dnew[:, 0] = Drow[:, 0] + vcost
 
-        # Level 0 (diagonal).
-        prevmin = np.minimum(np.minimum(Mrow, Irow), Drow)
-        Mnew = np.empty_like(Mrow)
+        # Level 0 (diagonal): min over all 3 previous levels + sub cost.
+        np.minimum(MI, Drow, out=prevmin)
+        np.add(prevmin[:, :-1], sub_lut[ai[:, None], Bc], out=Mnew[:, 1:])
         Mnew[:, 0] = bign[:, 0]
-        Mnew[:, 1:] = prevmin[:, :-1] + cp.sub[ai[:, None], Bc]
 
-        # Level 1 (horizontal) via prefix-min scan.
-        G = np.minimum(Mnew, Dnew) + go
-        W = G - cumc
-        W[:, 0] = np.minimum(W[:, 0], bign[:, 0])  # I[i,0] = bign candidate
-        runmin = np.minimum.accumulate(W, axis=1)
-        Inew = np.empty_like(Irow)
+        # Level 1 (horizontal) via prefix-min scan:
+        # I[i,j] = cumc[j] + min_{k<j} (min(M[i,k],D[i,k]) + go - cumc[k]).
+        np.minimum(Mnew, Dnew, out=W)
+        W += go
+        W -= cumc
+        np.minimum(W[:, 0], bign[:, 0], out=W[:, 0])  # I[i,0] = bign cand
+        np.minimum.accumulate(W, axis=1, out=W)
+        np.add(cumc[:, 1:], W[:, :-1], out=Inew[:, 1:])
         Inew[:, 0] = bign[:, 0]
-        Inew[:, 1:] = cumc[:, 1:] + runmin[:, :-1]
 
-        Mrow, Irow, Drow = Mnew, Inew, Dnew
+        Mrow, Mnew = Mnew, Mrow
+        Irow, Inew = Inew, Irow
+        Drow, Dnew = Dnew, Drow
 
         done = np.nonzero(m == i)[0]
         if done.size:
             nj = n[done]
             out[done] = np.minimum(
                 np.minimum(Mrow[done, nj], Irow[done, nj]), Drow[done, nj]
-            )
+            ).astype(np.int64)
     return out
 
 

@@ -1,0 +1,81 @@
+"""spark-submit entry point for the full ER pipeline.
+
+  spark-submit --master local[8] --py-files globalign_spark.zip \
+      globalign_spark/main.py --warehouse /tmp/er_wh --n-entities 2000
+
+On a real cluster the same invocation runs with --master yarn/k8s and the
+pages table read from Iceberg (--pages-table) instead of the synthetic
+generator. Resumability: re-running with the same --warehouse skips every
+stage whose checkpoint manifest exists (orchestrator.Checkpointer).
+
+Mirrors the reference CLI's role (console script `globaligner`,
+/root/reference/pyproject.toml:29-30 -> globaligner.py:23-129) for the
+pipeline surface; the single-pair CLI lives in globalign_spark.api.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="globalign-spark-pipeline")
+    p.add_argument("--warehouse", required=True,
+                   help="checkpoint/output directory (parquet stage tables)")
+    p.add_argument("--pages-parquet", default=None,
+                   help="existing pages table (url, warc_ts, html, text, lang)")
+    p.add_argument("--n-entities", type=int, default=2000,
+                   help="synthesize a deterministic corpus of this many entities"
+                        " when --pages-parquet is not given")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--master", default=None)
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    p.add_argument("--similarity-threshold", type=float, default=0.8)
+    p.add_argument("--num-perm", type=int, default=64)
+    p.add_argument("--num-bands", type=int, default=16)
+    p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--text-from-html", action="store_true",
+                   help="re-extract text from the html column (byte-identical"
+                        " invariant path)")
+    p.add_argument("--evaluate", action="store_true",
+                   help="join against generator ground truth and report F1"
+                        " (synthetic corpus only)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from globalign_spark.pipeline.orchestrator import PipelineConfig, run_pipeline
+    from globalign_spark.session import get_spark
+    from globalign_spark.sources.fixtures import labeled_pairs_df, pages_df
+
+    spark = get_spark(
+        "globalign-er-pipeline",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    if args.pages_parquet:
+        pages = spark.read.parquet(args.pages_parquet)
+        truth = None
+    else:
+        pages = pages_df(spark, args.n_entities, seed=args.seed)
+        truth = labeled_pairs_df(pages) if args.evaluate else None
+
+    cfg = PipelineConfig(
+        warehouse=args.warehouse,
+        num_perm=args.num_perm,
+        num_bands=args.num_bands,
+        bucket_cap=args.bucket_cap,
+        similarity_threshold=args.similarity_threshold,
+        text_from_html=args.text_from_html,
+    )
+    summary = run_pipeline(spark, pages, cfg, labeled_pairs=truth)
+    print(json.dumps(summary, indent=1, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -187,12 +187,14 @@ def costing_mat_to_luts(
       del_lut[ord(b)]         = cost('-', b)      (horizontal step, gap in seq_1)
       ins_lut[ord(a)]         = cost(a, '-')      (vertical step, gap in seq_2)
 
-    Unknown code points are left at a large positive value so that stray
-    characters surface as absurd costs instead of silent wrong answers.
+    Unknown code points are left at a large positive value (2^20: absurd
+    versus any real cost, yet int32-safe even when accumulated along a
+    sequence) so stray characters surface as absurd costs instead of silent
+    wrong answers.
     """
-    sub = np.full((LUT_SIZE, LUT_SIZE), 2**31, dtype=np.int64)
-    dele = np.full(LUT_SIZE, 2**31, dtype=np.int64)
-    ins = np.full(LUT_SIZE, 2**31, dtype=np.int64)
+    sub = np.full((LUT_SIZE, LUT_SIZE), 2**20, dtype=np.int64)
+    dele = np.full(LUT_SIZE, 2**20, dtype=np.int64)
+    ins = np.full(LUT_SIZE, 2**20, dtype=np.int64)
     for a, row in costing_mat.items():
         for b, c in row.items():
             if a == GAP and b == GAP:

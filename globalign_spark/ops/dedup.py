@@ -46,7 +46,13 @@ def minhash_signature(text: Column, k: int = 5, num_perm: int = 16) -> Column:
     """array<string> of P minhash values: sig_j = min over shingles s of
     md5(j || ':' || s). Min over md5 hex strings is a valid uniform minhash
     (lexicographic order on a uniform 128-bit value) and is bit-identical
-    in any engine with md5."""
+    in any engine with md5.
+
+    NOTE: higher-order-function lambdas are interpreted (not codegen'd) in
+    Spark — fine for a per-row signature column on moderate rows; the bulk
+    pipeline uses :func:`minhash_signature_rows` (explode + codegen md5 +
+    hash aggregate), which is both faster and shuffle-scalable.
+    """
     grams = kgrams(text, k)
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
@@ -56,6 +62,31 @@ def minhash_signature(text: Column, k: int = 5, num_perm: int = 16) -> Column:
                 lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
             )
         ),
+    )
+
+
+def minhash_signature_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(id, j, mh) minhash rows via explode -> whole-stage-codegen md5 ->
+    partial+final min aggregate. Each gram is hashed exactly once per
+    permutation in generated code (the array-of-lambdas formulation would
+    evaluate md5 through the interpreted expression path)."""
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(kgrams(F.col(text_col), k)).alias("g"),
+    )
+    permed = grams.select(
+        "_id",
+        F.explode(F.array(*[F.lit(j) for j in range(num_perm)])).alias("j"),
+        "g",
+    )
+    return permed.groupBy("_id", "j").agg(
+        F.min(F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("g")))).alias("mh")
     )
 
 
@@ -86,14 +117,27 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
     rows = num_perm // num_bands
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        band_hashes(
-            minhash_signature(F.col(text_col), k, num_perm), num_bands, rows
-        ).alias("bands"),
-    )
-    exploded = sig.select(
-        "_id", F.posexplode("bands").alias("band_id", "band_hash")
+    sig = minhash_signature_rows(df, id_col, text_col, k, num_perm)
+    # Band key: md5(band_id | mh_j0,mh_j1,...) with the slice ordered by j —
+    # array_sort on struct(j, mh) reproduces SQL string_agg(... order by j).
+    exploded = (
+        sig.groupBy("_id", (F.col("j") / rows).cast("int").alias("band_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
+                    lambda s: s["mh"],
+                ),
+                ",",
+            ).alias("_joined")
+        )
+        .select(
+            "_id",
+            "band_id",
+            F.md5(
+                F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("_joined"))
+            ).alias("band_hash"),
+        )
     )
     sizes = exploded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
@@ -144,7 +188,10 @@ def simhash32(text: Column) -> Column:
         F.zip_with(
             bits,
             F.sequence(F.lit(0), F.lit(31)),
-            lambda b, i: b.cast("long") * F.shiftleft(F.lit(1).cast("long"), i),
+            # 2^i via pow: exact in double for i <= 31 (shiftleft's numBits
+            # argument only accepts a Python int, not a per-row column).
+            lambda b, i: b.cast("long")
+            * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

@@ -15,7 +15,7 @@ Operators:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
@@ -127,28 +127,59 @@ def kgram_hashes(text: Column, k: int = 8) -> Column:
     return F.transform(idx, lambda i: F.md5(F.substr(text, i, F.lit(k))))
 
 
-def add_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+def fingerprint_rows(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4,
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al. 2003 shape): the
-    distinct set of per-window minima over k-gram hashes. Robust to local
-    edits; the standard content-fingerprint for near-dup sweeps."""
-    hashes = kgram_hashes(F.col(text_col), k)
-    win_idx = F.sequence(
-        F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    """Winnowing document fingerprints (Schleimer et al. 2003 shape) as
+    DISTINCT (id, fp) rows: per-window minima over k-gram md5 hashes.
+
+    posexplode + window-function min (rows between current and window-1
+    following) keeps md5 in whole-stage codegen and each gram hashed once —
+    the array-of-lambdas formulation would re-evaluate the hash array per
+    window through the interpreted expression path.
+    """
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
     )
-    mins = F.transform(win_idx, lambda i: F.array_min(F.slice(hashes, i, window)))
-    return df.withColumn("fingerprints", F.array_sort(F.array_distinct(mins)))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.greatest(F.length(text_col) - (k - 1), F.lit(1)).alias("_ng"),
+        F.posexplode(kgram_hashes(F.col(text_col), k)).alias("pos", "h"),
+    )
+    return (
+        grams.withColumn("fp", F.min("h").over(w))
+        # valid window starts only: pos in [0, n_grams - window]
+        .where(F.col("pos") <= F.greatest(F.col("_ng") - window, F.lit(0)))
+        .select(F.col("_id").alias("id"), "fp")
+        .distinct()
+    )
+
+
+def fingerprint_summary(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """(id, n_fingerprints, min_fingerprint) per document."""
+    return (
+        fingerprint_rows(df, id_col, text_col, k, window)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_fingerprints"),
+            F.min("fp").alias("min_fingerprint"),
+        )
+    )
 
 
 def fingerprint_overlap_pairs(
-    df: DataFrame, id_col: str = "doc_id", min_common: int = 2
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 8, window: int = 4, min_common: int = 2,
 ) -> DataFrame:
-    """Docs sharing >= min_common winnowing fingerprints (explode -> equi
-    self-join on fingerprint -> count per pair)."""
-    fp = df.select(
-        F.col(id_col).alias("id"), F.explode("fingerprints").alias("fp")
-    )
+    """Docs sharing >= min_common winnowing fingerprints (distinct-fp
+    explode -> equi self-join on fingerprint -> count per pair)."""
+    fp = fingerprint_rows(df, id_col, text_col, k, window)
     a = fp.select(F.col("id").alias("id_1"), "fp")
     b = fp.select(F.col("id").alias("id_2"), "fp")
     return (

@@ -1,0 +1,90 @@
+"""Structured Streaming surface: incremental ingest of a pages directory.
+
+The batch pipeline is the north-rule deliverable (Iceberg-snapshot
+incrementality); this module is the streaming twin for continuous crawls:
+  - `stream_pages`: readStream over a parquet drop directory,
+  - `stream_normalize`: the same stage-0 projection as the batch path,
+  - `stream_dedup_counts`: watermarked sliding-window exact-dup counting
+    (md5 groupBy) — late captures beyond the watermark are dropped,
+  - `run_available_now`: drain everything currently in the directory
+    (testable without a long-lived query).
+
+All transformations reuse the batch column expressions, so streaming and
+batch results agree by construction (same Catalyst plans under the hood).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from .pipeline.extract import extract_text, host_of
+
+PAGES_STREAM_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), True),
+        StructField("text", StringType(), True),
+        StructField("lang", StringType(), True),
+    ]
+)
+
+
+def stream_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 8
+) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_normalize(pages: DataFrame, text_from_html: bool = False) -> DataFrame:
+    df = pages
+    if text_from_html:
+        df = df.withColumn("text", extract_text(F.col("html")))
+    return (
+        df.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .withColumn("host", host_of(F.col("url")))
+        .withColumn("norm_text", F.upper(F.translate(F.col("text"), "-", " ")))
+    )
+
+
+def stream_dedup_counts(
+    norm: DataFrame, watermark: str = "1 day", window: str = "1 day"
+) -> DataFrame:
+    """(window, text_md5, n_dupes) with late-data handling: captures older
+    than the watermark are dropped instead of reopening closed windows."""
+    return (
+        norm.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.md5(F.col("norm_text")).alias("text_md5"),
+        )
+        .agg(F.count("*").alias("n_dupes"))
+        .select(F.col("w.start").alias("window_start"), "text_md5", "n_dupes")
+    )
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Drain all currently-available input and stop (batch-equivalent run;
+    restartable from the checkpoint for incremental catch-up)."""
+    q = (
+        result.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,186 @@
+"""Unit tests for the training-data ops (dedup / similarity / text /
+multimodal) on small in-memory frames."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from globalign_spark.ops import dedup, multimodal, similarity
+from globalign_spark.ops import text as text_ops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "src0"),
+        (1, "the cat sat on the mat", "src0"),          # exact dup of 0
+        (2, "the cat sat on the big mat", "src0"),      # near dup of 0
+        (3, "completely different words here entirely", "src0"),
+        (4, "der hund ist nicht da und das ist gut", "src1"),
+        (5, "le chat est sur le tapis et il dort", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dedup_exact(docs):
+    out = {r.text_md5: r for r in dedup.dedup_exact(docs).collect()}
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup = [r for r in out.values() if r.n_dupes == 2]
+    assert len(dup) == 1 and dup[0].survivor_id == 0
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in dedup.dedup_minhash_lsh(docs, num_perm=16, num_bands=8).collect()
+    }
+    assert (0, 1) in pairs          # identical text always collides
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup likely in >=1 band
+    assert (0, 3) not in pairs      # unrelated text must not collide
+
+
+def test_simhash_properties(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.add_simhash(docs).collect()}
+    assert sh[0] == sh[1]  # identical text -> identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+
+
+def test_ngram_jaccard(docs):
+    out = {
+        (r.id_1, r.id_2): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, block_col="source", k=3, threshold=0.5
+        ).collect()
+    }
+    assert out[(0, 1)] == 1.0
+    assert (0, 2) in out and out[(0, 2)] > 0.7
+    assert (0, 3) not in out
+
+
+def test_winnowing_fingerprints_edit_robust(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("lazy", "hazy")
+    df = spark.createDataFrame(
+        [(0, base), (1, edited), (2, "zzz unrelated content qqq xyz")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_1, r.id_2): r.n_common
+        for r in text_ops.fingerprint_overlap_pairs(
+            df, k=8, window=4, min_common=2
+        ).collect()
+    }
+    assert (0, 1) in pairs          # local edit keeps most fingerprints
+    assert (0, 2) not in pairs
+
+
+def test_lang_id(docs):
+    out = {r.doc_id: r.pred_lang for r in text_ops.add_lang_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[4] == "de"
+    assert out[5] == "fr"
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world,  42 foo-bar")], "doc_id long, text string"
+    )
+    r = text_ops.add_token_counts(df).collect()[0]
+    assert r.ws_tokens == 4
+    # hello|world|,|42|foo|-|bar
+    assert r.bpe_tokens == 7
+
+
+def test_quality_score_ranges(docs):
+    rows = text_ops.add_quality_score(docs).collect()
+    for r in rows:
+        assert 0.0 <= r.quality_score <= 1.0
+    byid = {r.doc_id: r.quality_score for r in rows}
+    assert byid[0] > byid[3]  # stopword-rich English beats stopword-free
+
+
+def _emb_frame(spark, n=40, dim=16, seed=3):
+    rng = np.random.Generator(np.random.Philox(seed))
+    base = rng.standard_normal((4, dim))
+    rows = []
+    for i in range(n):
+        v = base[i % 4] + 0.05 * rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v], i % 4))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_brute_force_topk_exact(spark):
+    emb = _emb_frame(spark)
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 3), k=4
+    ).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.cos_sim))
+    pdf = emb.toPandas().set_index("vec_id")
+    for q in range(3):
+        qv = np.array(pdf.loc[q, "embedding"])
+        sims = {}
+        for i in pdf.index:
+            if i == q:
+                continue
+            cv = np.array(pdf.loc[i, "embedding"])
+            sims[i] = round(
+                float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6
+            )
+        exp = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+        got_q = sorted(got[q])
+        for rank, (nid, sim) in enumerate(exp, 1):
+            assert got_q[rank - 1][1] == nid
+            assert abs(got_q[rank - 1][2] - sim) < 1e-6
+
+
+def test_lsh_topk_recall(spark):
+    """Cluster structure -> same-cluster vectors share buckets; LSH top-1
+    must equal brute-force top-1 for most queries."""
+    emb = _emb_frame(spark, n=60)
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(emb, q, k=1).collect()
+    }
+    lsh = {
+        r.query_id: r.neighbor_id
+        for r in similarity.lsh_bucket_topk(
+            emb, q, k=1, n_planes=6, dim=16
+        ).collect()
+    }
+    hits = sum(1 for k in bf if lsh.get(k) == bf[k])
+    assert hits >= 8  # multiprobe recall >= 80% on clustered data
+
+
+def test_multimodal_features(spark):
+    rows = [
+        (0, "image", b"\x00" * 64),
+        (1, "image", bytes(range(256))),
+        (2, "audio", b""),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    out = {r.media_id: r for r in multimodal.extract_media_features(df).collect()}
+    assert out[0].n_bytes == 64 and out[0].byte_entropy == 0.0
+    assert abs(out[1].byte_entropy - 4.0) < 1e-9  # uniform over 16 bins
+    assert len(out[1].features) == 16
+    assert abs(sum(out[1].features) - 1.0) < 1e-9
+    assert out[2].n_bytes == 0
+
+
+def test_multimodal_real_backend_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeBackend().decode("image", b"abc")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(0,), (1,)], "media_id long")
+    out = multimodal.frame_sample_plan(df, every_n=4).collect()
+    assert len(out) == 8
+    assert {(r.media_id, r.frame_idx) for r in out} == {
+        (m, f) for m in (0, 1) for f in range(4)
+    }

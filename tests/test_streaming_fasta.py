@@ -1,0 +1,124 @@
+"""Structured Streaming surface + distributed FASTA source tests."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from globalign_spark import streaming
+from globalign_spark.sources.fasta_spark import read_fasta
+from globalign_spark.sources.fixtures import pages_df
+
+
+def test_read_fasta_spark(spark, tmp_path):
+    f1 = tmp_path / "a.fasta"
+    f1.write_text(">seq one\nacgt\nACGT\n\n>seq two\nTTTT\n")
+    f2 = tmp_path / "b.fasta"
+    f2.write_text(">only\nGG\n>empty\n\n>gapped\nA-C\n")
+    rows = {r.description: r.sequence
+            for r in read_fasta(spark, str(tmp_path / "*.fasta")).collect()}
+    # multi-line concat + uppercase; empty and '-' records dropped
+    assert rows == {"seq one": "ACGTACGT", "seq two": "TTTT", "only": "GG"}
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """availableNow streaming run over a parquet drop dir == batch result."""
+    src = tmp_path / "pages_in"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    pages = pages_df(spark, n_entities=40, seed=21).drop(
+        "entity_id", "variant_id"
+    )
+    pages.write.mode("overwrite").parquet(str(src))
+
+    stream = streaming.stream_pages(spark, str(src), max_files_per_trigger=None)
+    assert stream.isStreaming
+    norm = streaming.stream_normalize(stream, text_from_html=True)
+    # Single microbatch (no maxFilesPerTrigger split): the watermark starts
+    # at -inf, so nothing is dropped as late; append mode then emits exactly
+    # the windows closed by the FINAL watermark (max event time - delay).
+    counts = streaming.stream_dedup_counts(norm, watermark="1 day",
+                                           window="1 day")
+    streaming.run_available_now(counts, str(ck), str(out))
+
+    got = spark.read.parquet(str(out))
+    src_df = streaming.stream_normalize(
+        spark.read.parquet(str(src)), text_from_html=True
+    )
+    batch = (
+        src_df.groupBy(
+            F.window("warc_ts", "1 day").alias("w"),
+            F.md5("norm_text").alias("text_md5"),
+        )
+        .agg(F.count("*").alias("n_dupes"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "text_md5",
+            "n_dupes",
+        )
+    )
+    max_ts = src_df.agg(F.max("warc_ts")).collect()[0][0]
+    import datetime
+
+    wm = max_ts - datetime.timedelta(days=1)
+    closed = batch.where(F.col("window_end") <= F.lit(wm)).drop("window_end")
+    # every emitted row matches the batch aggregation bit-for-bit ...
+    assert got.exceptAll(batch.drop("window_end")).count() == 0
+    # ... and all watermark-closed windows were emitted
+    assert closed.exceptAll(got).count() == 0
+    assert got.count() >= closed.count() > 0
+
+
+def test_watermark_drops_late(spark, tmp_path):
+    """With a tight watermark, multi-microbatch processing drops captures
+    older than (max seen ts - watermark) — strictly fewer or equal groups
+    than the batch run, never more."""
+    src = tmp_path / "late_in"
+    out = tmp_path / "late_out"
+    ck = tmp_path / "late_ck"
+    pages = pages_df(spark, n_entities=40, seed=21).drop(
+        "entity_id", "variant_id"
+    )
+    pages.write.mode("overwrite").parquet(str(src))
+    norm = streaming.stream_normalize(
+        streaming.stream_pages(spark, str(src)), text_from_html=False
+    )
+    counts = streaming.stream_dedup_counts(norm, watermark="1 day",
+                                           window="1 day")
+    streaming.run_available_now(counts, str(ck), str(out))
+    n_stream = spark.read.parquet(str(out)).count()
+    n_batch = (
+        streaming.stream_normalize(spark.read.parquet(str(src)))
+        .groupBy(F.window("warc_ts", "1 day"), F.md5("norm_text"))
+        .count()
+        .count()
+    )
+    assert n_stream <= n_batch
+
+
+def test_streaming_incremental_resume(spark, tmp_path):
+    """New files after the first drain are picked up from the checkpoint
+    without reprocessing old ones (stage-level incrementality)."""
+    src = tmp_path / "inc_in"
+    out = tmp_path / "inc_out"
+    ck = tmp_path / "inc_ck"
+    p1 = pages_df(spark, n_entities=10, seed=1).drop("entity_id", "variant_id")
+    p1.write.mode("overwrite").parquet(str(src))
+
+    def drain():
+        s = streaming.stream_normalize(
+            streaming.stream_pages(spark, str(src)), text_from_html=False
+        ).select("url", "host", "norm_text")
+        streaming.run_available_now(s, str(ck), str(out))
+
+    drain()
+    n1 = spark.read.parquet(str(out)).count()
+    # second corpus appended as new files
+    p2 = pages_df(spark, n_entities=10, seed=2).drop("entity_id", "variant_id")
+    p2.write.mode("append").parquet(str(src))
+    drain()
+    n2 = spark.read.parquet(str(out)).count()
+    assert n1 == p1.count()
+    assert n2 == p1.count() + p2.count()
+    # output files from the first drain were not rewritten
+    assert len(glob.glob(str(out) + "/*.parquet")) > 1

@@ -10,6 +10,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -80,10 +81,16 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import time
+
     import __spark_entry__ as entry
     from globalign_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    spark = get_spark(
+        "oracle-check",
+        master=os.environ.get("CHECK_MASTER", "local[8]"),
+        shuffle_partitions=8,
+    )
     con = duck_conn(sf_dir)
     qs = entry.queries()
     oracles = entry.oracle_sql()
@@ -91,10 +98,12 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             msg = compare(name, fn(spark, sf_dir), oracles.get(name), con)
         except Exception as e:
             msg = f"{name}: ERROR {type(e).__name__}: {str(e)[:300]}"
+        msg += f"  [{time.time() - t0:.1f}s]"
         if "FAIL" in msg or "ERROR" in msg:
             fails += 1
         print(msg, flush=True)
