@@ -106,6 +106,13 @@ def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_id_2"), "source", F.col("text").alias("text_2")
     )
     pairs = a.join(b, "source").where(F.col("doc_id_1") < F.col("doc_id_2"))
+    # Explicit repartition by pair hash: AQE coalesces this shuffle to very
+    # few partitions by byte size, but scoring cost is per-cell, not
+    # per-byte — without this the whole kernel stage runs in one task.
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism * 2,
+        F.xxhash64("doc_id_1", "doc_id_2"),
+    )
     scored = score_pairs(pairs, unit_cost_params())
     return scored.select(
         "doc_id_1",
@@ -137,6 +144,10 @@ def q_er_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_2"), "source", F.col("text").alias("text_2")
     )
     pairs = a.join(b, "source").where(F.col("id_1") < F.col("id_2"))
+    pairs = pairs.repartition(
+        spark.sparkContext.defaultParallelism * 2,
+        F.xxhash64("id_1", "id_2"),
+    )
     scored = score_pairs(pairs, unit_cost_params())
     edges = scored.where(
         (~F.col("oversize"))
@@ -740,6 +751,88 @@ having count(*) >= 5
 """
 
 
+def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-pairs evaluation join (J4): predicted near-dup pairs (3-gram
+    Jaccard >= 0.5 within source) vs constructed ground truth (the injected
+    variant pairs), via left-semi / left-anti joins -> P/R/F1 row."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    t1 = d.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + 100000).alias("u2")
+    )
+    t2 = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + 200000).alias("u2")
+    )
+    t3 = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("u1"),
+        (F.col("doc_id") + 200000).alias("u2"),
+    )
+    truth = t1.unionByName(t2).unionByName(t3)
+    pred = dedup.ngram_jaccard_pairs(
+        _docs_aug(spark, sf_dir), block_col="source", k=3, threshold=0.5
+    ).select(F.col("id_1").alias("u1"), F.col("id_2").alias("u2"))
+    tp = pred.join(truth, ["u1", "u2"], "left_semi").count()
+    n_pred = pred.count()
+    n_truth = truth.count()
+    fp = pred.join(truth, ["u1", "u2"], "left_anti").count()
+    fn = truth.join(pred, ["u1", "u2"], "left_anti").count()
+    base = spark.createDataFrame(
+        [(n_pred, n_truth, tp, fp, fn)],
+        "n_pred long, n_truth long, tp long, fp long, fn long",
+    )
+    # F.round (HALF_UP), matching DuckDB round — not Python's banker's round
+    return base.select(
+        "*",
+        F.when(F.col("n_pred") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("tp") / F.col("n_pred"), 6))
+        .alias("precision"),
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("tp") / F.col("n_truth"), 6))
+        .alias("recall"),
+    )
+
+
+SQL_EVAL_JOIN = f"""
+with truth as (
+  select doc_id as u1, doc_id + 100000 as u2 from documents where doc_id % 5 = 0
+  union all
+  select doc_id, doc_id + 200000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 100000, doc_id + 200000 from documents where doc_id % 10 = 0
+),
+docs as {DOCS_AUG_SQL},
+g as (
+  select doc_id, source,
+         list_distinct([substr(text, i, 3)
+                        for i in range(1, greatest(length(text)-2,1)+1)]) as grams
+  from docs
+),
+pred as (
+  select a.doc_id as u1, b.doc_id as u2
+  from g a join g b on a.source = b.source and a.doc_id < b.doc_id
+  where round(len(list_intersect(a.grams, b.grams))::DOUBLE
+              / (len(a.grams) + len(b.grams)
+                 - len(list_intersect(a.grams, b.grams))), 6) >= 0.5
+),
+counts as (
+  select
+    (select count(*) from pred) as n_pred,
+    (select count(*) from truth) as n_truth,
+    (select count(*) from pred p where exists
+       (select 1 from truth t where t.u1 = p.u1 and t.u2 = p.u2)) as tp,
+    (select count(*) from pred p where not exists
+       (select 1 from truth t where t.u1 = p.u1 and t.u2 = p.u2)) as fp,
+    (select count(*) from truth t where not exists
+       (select 1 from pred p where p.u1 = t.u1 and p.u2 = t.u2)) as fn
+)
+select n_pred, n_truth, tp, fp, fn,
+       case when n_pred = 0 then 1.0
+            else round(tp::DOUBLE / n_pred, 6) end as precision,
+       case when n_truth = 0 then 1.0
+            else round(tp::DOUBLE / n_truth, 6) end as recall
+from counts
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -767,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
+        "eval_join": q_eval_join,
         "events_window": q_events_window,
         "events_json": q_events_json,
         "agg_lineitem": q_agg_lineitem,
@@ -794,6 +888,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,
+        "eval_join": SQL_EVAL_JOIN,
         "events_window": SQL_EVENTS_WINDOW,
         "events_json": SQL_EVENTS_JSON,
         "agg_lineitem": SQL_AGG_LINEITEM,

@@ -70,9 +70,15 @@ def _run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def _count_pairs(spark, sf_dir: str) -> int:
-    import __spark_entry__ as entry
+    """Candidate-pair count via the blocking join only (no kernel re-run)."""
+    from pyspark.sql import functions as F
 
-    return entry.q_align_pairs(spark, sf_dir).count()
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = d.select(F.col("doc_id").alias("d1"), "source")
+    b = d.select(F.col("doc_id").alias("d2"), "source")
+    return a.join(b, "source").where(F.col("d1") < F.col("d2")).count()
 
 
 def bench_main(args) -> dict:

@@ -76,6 +76,11 @@ def minhash_signature_rows(
     partial+final min aggregate. Each gram is hashed exactly once per
     permutation in generated code (the array-of-lambdas formulation would
     evaluate md5 through the interpreted expression path)."""
+    # Parquet scans of small-byte/large-compute tables give one input split;
+    # without this repartition the 16x gram explode and every md5 would run
+    # in a single task (bytes-based splitting is blind to per-row compute).
+    spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism * 2)
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.explode(kgrams(F.col(text_col), k)).alias("g"),
@@ -235,6 +240,7 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Within-block pairwise k-gram Jaccard similarity >= threshold.
     jaccard = |A∩B| / |A∪B| on distinct k-grams; rounded to 6 dp."""
+    spark = df.sparkSession
     g = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
@@ -246,12 +252,28 @@ def ngram_jaccard_pairs(
     b = g.select(
         F.col("_blk"), F.col("_id").alias("id_2"), F.col("_grams").alias("g2")
     )
-    inter = F.size(F.array_intersect("g1", "g2"))
-    union = F.size("g1") + F.size("g2") - inter
-    return (
+    pairs = (
         a.join(b, "_blk")
         .where(F.col("id_1") < F.col("id_2"))
-        .withColumn("jaccard", F.round(inter / union, 6))
+        # compute-heavy per-pair intersects: spread across cores explicitly
+        # (AQE coalesces this shuffle by bytes, not by compute)
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2,
+            F.xxhash64("id_1", "id_2"),
+        )
+        # materialize |A∩B| ONCE per pair: array_intersect is interpreted
+        # (non-codegen); referencing it twice doubles the dominant cost
+        .select(
+            "id_1",
+            "id_2",
+            F.size(F.array_intersect("g1", "g2")).alias("_i"),
+            (F.size("g1") + F.size("g2")).alias("_s"),
+        )
+    )
+    return (
+        pairs.withColumn(
+            "jaccard", F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_1", "id_2", "jaccard")
     )

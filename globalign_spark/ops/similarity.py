@@ -170,6 +170,11 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, "_blk")
         .where(F.col("id_1") < F.col("id_2"))
+        # interpreted per-pair dot products: force compute parallelism
+        .repartition(
+            df.sparkSession.sparkContext.defaultParallelism,
+            F.xxhash64("id_1", "id_2"),
+        )
         .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
         .where(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")

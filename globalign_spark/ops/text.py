@@ -144,6 +144,9 @@ def fingerprint_rows(
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
+    # spread the per-row md5-array build across cores (single parquet split
+    # otherwise runs every hash in one task)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.greatest(F.length(text_col) - (k - 1), F.lit(1)).alias("_ng"),

@@ -75,6 +75,10 @@ def connected_components(
     may be any orderable type (urls as strings work; hashing to int64 is an
     optimization left to the caller at the 10^12 scale).
     """
+    # Materialize the edge list ONCE up front: everything below (node set
+    # and the iteration) derives from this checkpoint, never from the raw
+    # upstream plan (which may be an expensive scoring pipeline that must
+    # not be recomputed).
     cur = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src") != F.col("dst"))
@@ -82,8 +86,8 @@ def connected_components(
         .localCheckpoint()
     )
     all_nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        cur.select(F.col("src").alias("id"))
+        .union(cur.select(F.col("dst").alias("id")))
         .distinct()
         .localCheckpoint()
     )

@@ -60,9 +60,12 @@ def _score_chunk(
 
     idx = np.nonzero(ok)[0]
     if idx.size:
-        # Sort by padded-size contribution so chunks are homogeneous, then
-        # greedily cut chunks at the cell budget.
-        order = idx[np.argsort(cells[idx], kind="stable")]
+        # Lexicographic (m, n) sort so greedy chunks are shape-homogeneous
+        # (sorting by the cell product mixes 100x500 with 500x100 shapes and
+        # pays ~3x padding waste). The big win comes from the caller sorting
+        # each partition by length first — then batches arrive pre-clustered
+        # and this is a near-no-op safety net.
+        order = idx[np.lexsort((lens2[idx], lens1[idx]))]
         start = 0
         while start < order.size:
             m_max = 0
@@ -92,14 +95,24 @@ def score_pairs(
     text_1: str = "text_1",
     text_2: str = "text_2",
     cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
+    sort_by_length: bool = True,
 ) -> DataFrame:
     """Append ``cost``, ``score`` (long, null for oversize) and ``oversize``
     (bool) to a candidate-pairs DataFrame.
+
+    ``sort_by_length`` clusters each partition by (len_1, len_2) before the
+    UDF so every Arrow batch holds similar-shaped pairs — the batched DP
+    pads to the batch max shape, and length-mixed batches waste 2-3x the
+    cells. A partition-local sort (no shuffle) removes that waste JVM-side.
 
     Parity: cost/score match the reference's find_global_alignment exactly
     (tests/test_scoring_spark.py fuzzes this against the kernel, which is
     fuzzed against /root/reference itself).
     """
+    if sort_by_length:
+        pairs = pairs.sortWithinPartitions(
+            F.length(F.col(text_1)), F.length(F.col(text_2))
+        )
     schema = StructType(
         pairs.schema.fields
         + [
