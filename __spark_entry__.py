@@ -152,8 +152,7 @@ def q_er_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = scored.where(
         (~F.col("oversize"))
         & (
-            1.0
-            - F.col("cost") / F.greatest(F.length("text_1"), F.length("text_2"))
+            1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
             >= SIM_THRESHOLD
         )
     ).select("id_1", "id_2")

@@ -63,9 +63,11 @@ def _run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     times: dict[str, float] = {}
     for name in names:
         t0 = time.time()
+        print(f"# running {name} ...", file=sys.stderr, flush=True)
         # count() forces full execution without driver-side materialization
         qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
     return times
 
 

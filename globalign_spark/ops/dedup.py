@@ -244,34 +244,63 @@ def ngram_jaccard_pairs(
     g = df.select(
         F.col(block_col).alias("_blk"),
         F.col(id_col).alias("_id"),
-        kgrams(F.col(text_col), k).alias("_grams"),
+        F.col(text_col).alias("_t"),
     )
     a = g.select(
-        F.col("_blk"), F.col("_id").alias("id_1"), F.col("_grams").alias("g1")
+        F.col("_blk"), F.col("_id").alias("id_1"), F.col("_t").alias("t1")
     )
     b = g.select(
-        F.col("_blk"), F.col("_id").alias("id_2"), F.col("_grams").alias("g2")
+        F.col("_blk"), F.col("_id").alias("id_2"), F.col("_t").alias("t2")
     )
     pairs = (
         a.join(b, "_blk")
         .where(F.col("id_1") < F.col("id_2"))
-        # compute-heavy per-pair intersects: spread across cores explicitly
-        # (AQE coalesces this shuffle by bytes, not by compute)
+        # compute-heavy per-pair set intersects: spread across cores
+        # explicitly (AQE coalesces this shuffle by bytes, not by compute)
         .repartition(
             spark.sparkContext.defaultParallelism * 2,
             F.xxhash64("id_1", "id_2"),
         )
-        # materialize |A∩B| ONCE per pair: array_intersect is interpreted
-        # (non-codegen); referencing it twice doubles the dominant cost
-        .select(
-            "id_1",
-            "id_2",
-            F.size(F.array_intersect("g1", "g2")).alias("_i"),
-            (F.size("g1") + F.size("g2")).alias("_s"),
-        )
     )
+
+    # |A∩B| and |A|+|B| via an Arrow-batched pandas iterator UDF: Python
+    # set intersection is ~50x the interpreted (non-codegen) ArrayIntersect
+    # expression for 500-element gram sets. Integer outputs only — the
+    # division and HALF_UP rounding stay JVM-side so the DuckDB oracle
+    # matches bit-for-bit.
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_1", pairs.schema["id_1"].dataType, True),
+            StructField("id_2", pairs.schema["id_2"].dataType, True),
+            StructField("_i", IntegerType(), False),
+            StructField("_s", IntegerType(), False),
+        ]
+    )
+
+    def gram_set(t: str) -> set:
+        return {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
+
+    def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            s1 = [gram_set(t) for t in pdf["t1"]]
+            s2 = [gram_set(t) for t in pdf["t2"]]
+            yield _pd.DataFrame(
+                {
+                    "id_1": pdf["id_1"],
+                    "id_2": pdf["id_2"],
+                    "_i": [len(x & y) for x, y in zip(s1, s2)],
+                    "_s": [len(x) + len(y) for x, y in zip(s1, s2)],
+                }
+            )
+
+    counted = pairs.mapInPandas(run, schema=out_schema)
     return (
-        pairs.withColumn(
+        counted.withColumn(
             "jaccard", F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
         )
         .where(F.col("jaccard") >= threshold)

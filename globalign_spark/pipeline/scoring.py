@@ -96,9 +96,15 @@ def score_pairs(
     text_2: str = "text_2",
     cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
     sort_by_length: bool = True,
+    keep_texts: bool = False,
 ) -> DataFrame:
-    """Append ``cost``, ``score`` (long, null for oversize) and ``oversize``
-    (bool) to a candidate-pairs DataFrame.
+    """Score a candidate-pairs DataFrame with the batched Gotoh kernel.
+
+    Output columns: every input column EXCEPT the two text columns (unless
+    ``keep_texts``), plus ``len_1``/``len_2`` (so similarity normalization
+    needs no re-join) and ``cost``/``score`` (long, null for oversize) and
+    ``oversize`` (bool). Dropping the texts halves Arrow traffic: the wide
+    strings cross into Python once and never come back.
 
     ``sort_by_length`` clusters each partition by (len_1, len_2) before the
     UDF so every Arrow batch holds similar-shaped pairs — the batched DP
@@ -113,9 +119,16 @@ def score_pairs(
         pairs = pairs.sortWithinPartitions(
             F.length(F.col(text_1)), F.length(F.col(text_2))
         )
+    keep_cols = [
+        f.name
+        for f in pairs.schema.fields
+        if keep_texts or f.name not in (text_1, text_2)
+    ]
     schema = StructType(
-        pairs.schema.fields
+        [f for f in pairs.schema.fields if f.name in keep_cols]
         + [
+            StructField("len_1", LongType(), False),
+            StructField("len_2", LongType(), False),
             StructField("cost", LongType(), True),
             StructField("score", LongType(), True),
             StructField("oversize", BooleanType(), False),
@@ -132,7 +145,9 @@ def score_pairs(
             t1 = pdf[text_1].to_numpy()
             t2 = pdf[text_2].to_numpy()
             cost, score, oversize = _score_chunk(t1, t2, cp, cell_cap)
-            out = pdf.copy()
+            out = pdf[keep_cols].copy()
+            out["len_1"] = [len(s) for s in t1]
+            out["len_2"] = [len(s) for s in t2]
             out["cost"] = cost
             out["score"] = score
             out["oversize"] = oversize
@@ -143,20 +158,18 @@ def score_pairs(
     return pairs.mapInPandas(run, schema=schema)
 
 
-def with_similarity(scored: DataFrame, text_1: str = "text_1",
-                    text_2: str = "text_2") -> DataFrame:
+def with_similarity(scored: DataFrame) -> DataFrame:
     """Normalized similarity in [0, 1] from the unit-cost (Levenshtein)
     configuration: sim = 1 - cost / max(len_1, len_2).
 
-    Column arithmetic only — stays JVM-side / whole-stage-codegen.
+    Column arithmetic over the scorer's len_1/len_2 outputs — stays
+    JVM-side / whole-stage-codegen.
     """
     return scored.withColumn(
         "similarity",
         F.when(
             F.col("cost").isNull(), F.lit(None).cast("double")
         ).otherwise(
-            1.0
-            - F.col("cost")
-            / F.greatest(F.length(F.col(text_1)), F.length(F.col(text_2)))
+            1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
         ),
     )
