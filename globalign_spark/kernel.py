@@ -46,10 +46,19 @@ def encode(seq: str) -> np.ndarray:
 
 
 class CompiledParams:
-    """AlignParams compiled to numpy LUTs; built once per executor task."""
+    """AlignParams compiled to numpy LUTs; built once per executor task.
+
+    Also pre-analyzes the substitution LUT for the batch kernel's fast path:
+    when every in-alphabet diagonal entry is one constant and every
+    off-diagonal entry another (true for unit/Levenshtein costs and any
+    simple match/mismatch scheme — the pipeline's hot configuration), the
+    per-row 2D LUT gather collapses to a byte comparison, and all lattice
+    values fit in int16 for realistic document lengths.
+    """
 
     __slots__ = ("sub", "dele", "ins", "go", "max_cost", "max_score",
-                 "delta_d", "delta_i")
+                 "delta_d", "delta_i", "alpha_pad_mask", "uniform_sub",
+                 "dele_alpha_max", "ins_alpha_max")
 
     def __init__(self, params: AlignParams):
         costing = params.costing_dict()
@@ -59,9 +68,46 @@ class CompiledParams:
         self.max_score = int(params.max_score)
         self.delta_d, self.delta_i = deltas(self.max_score)
 
+        unknown = 1 << 20
+        diag = np.diagonal(self.sub)
+        known = np.nonzero(
+            (diag < unknown) & (self.dele < unknown) & (self.ins < unknown)
+        )[0]
+        # Padding byte 0 is allowed through the fast-path char check (those
+        # lattice cells are never extracted).
+        self.alpha_pad_mask = np.zeros(self.sub.shape[0], dtype=bool)
+        self.alpha_pad_mask[known] = True
+        self.alpha_pad_mask[0] = True
+        self.dele_alpha_max = int(self.dele[known].max()) if known.size else 0
+        self.ins_alpha_max = int(self.ins[known].max()) if known.size else 0
+        self.uniform_sub = None
+        if known.size:
+            sq = self.sub[np.ix_(known, known)]
+            d0 = int(sq[0, 0])
+            if (np.diagonal(sq) == d0).all():
+                off = sq[~np.eye(known.size, dtype=bool)]
+                if off.size == 0 or (off == off.flat[0]).all():
+                    o0 = int(off.flat[0]) if off.size else d0
+                    self.uniform_sub = (d0, o0)
+
     def final_score(self, cost: np.ndarray, m: np.ndarray, n: np.ndarray):
         """score = n*delta_d + m*delta_i - cost (conclude.py:154-177)."""
         return n * self.delta_d + m * self.delta_i - cost
+
+
+def _prefix_min_inplace_i16(W: np.ndarray) -> None:
+    """In-place inclusive prefix-min along axis 0 via doubling steps.
+
+    Each step is one fully-contiguous vectorized ``minimum`` over the whole
+    lattice — ~2x faster than ``np.minimum.accumulate`` (a scalar loop) for
+    int16 at document shapes. Overlapping in/out is safe for min-scans:
+    extra propagation only ever re-mins already-valid prefix values.
+    """
+    s = 1
+    L = W.shape[0]
+    while s < L:
+        np.minimum(W[s:], W[:-s], out=W[s:])
+        s <<= 1
 
 
 def align_cost_batch(
@@ -75,6 +121,14 @@ def align_cost_batch(
     rows once; per-pair results are captured at row m_p, column n_p (padding
     rows/columns never influence cells inside a pair's true table because
     the DP only reads up-and-left).
+
+    Lattices are stored transposed — shape (n_max+1, B) — so the level-1
+    prefix-min scan runs over fully contiguous slabs. Two data paths:
+      - fast: uniform match/mismatch LUT (cp.uniform_sub) and all batch
+        chars in-alphabet → substitution costs come from a byte comparison
+        (no 2D gather), lattices in int16 when the value bound allows.
+      - generic: int32 lattices + 2D LUT gather; preserves the reference's
+        absurd-cost sentinel semantics for out-of-alphabet characters.
     """
     B = len(seqs1)
     if B == 0:
@@ -92,35 +146,57 @@ def align_cost_batch(
         A[p, : m[p]] = encode(s)
     for p, s in enumerate(seqs2):
         Bc[p, : n[p]] = encode(s)
-    # int32 lattices: all real costs are bounded by bign = (max_cost+1) *
-    # max(m, n) <= ~(2^15)*(2^13) plus per-cell adds — far inside int32.
-    # Padded positions hold code 0; LUT row/col 0 is the unknown-char
-    # sentinel, clamped to 0 here to keep cumulative sums small (those cells
-    # are never read inside a pair's true table).
-    sub_lut = cp.sub.astype(np.int32)
-    dele_lut = cp.dele.astype(np.int32)
-    ins_lut = cp.ins.astype(np.int32)
-    dele_lut[0] = 0
-    ins_lut[0] = 0
+    BcT = np.ascontiguousarray(Bc.T)  # (n_max, B)
 
-    go = np.int32(cp.go)
+    use_cmp = (
+        cp.uniform_sub is not None
+        and bool(cp.alpha_pad_mask[A].all())
+        and bool(cp.alpha_pad_mask[Bc].all())
+    )
+    dt = np.int32
+    if use_cmp:
+        d0, o0 = cp.uniform_sub
+        c_max = max(d0, o0, cp.dele_alpha_max, cp.ins_alpha_max, 0)
+        # Conservative bound on any lattice/scan value during the sweep.
+        vbound = (
+            (cp.max_cost + 1) * max(m_max, n_max)
+            + (m_max + 1) * (c_max + cp.go)
+            + n_max * cp.dele_alpha_max
+            + cp.go
+            + 16
+        )
+        if vbound < 32000:
+            dt = np.int16
+    go = dt(cp.go)
+
+    # Padding byte 0 clamps the gap LUTs to 0 so cumulative sums stay flat
+    # past a pair's true width (those cells are never read).
+    dele64 = cp.dele.copy()
+    ins64 = cp.ins.copy()
+    dele64[0] = 0
+    ins64[0] = 0
+    sub_lut = None if use_cmp else cp.sub.astype(np.int32)
+
     # Reference big-number sentinel, per pair: (max_cost + 1) * max(m, n)
     # (globaligner.py:777). Kept exact for bit-parity in edge regimes.
-    bign = ((cp.max_cost + 1) * np.maximum(m, n)).astype(np.int32)[:, None]
+    bign = ((cp.max_cost + 1) * np.maximum(m, n)).astype(dt)  # (B,)
 
-    # Horizontal step costs per column and their prefix sums.
-    # cumc[:, j] = sum_{t<=j} cost('-', b_t)  (index 0 = 0)
-    cumc = np.zeros((B, n_max + 1), dtype=np.int32)
-    np.cumsum(dele_lut[Bc], axis=1, out=cumc[:, 1:])
+    # cumc[j] = sum_{t<=j} cost('-', b_t) per pair (index 0 = 0).
+    cumc64 = np.zeros((n_max + 1, B), dtype=np.int64)
+    np.cumsum(dele64[BcT], axis=0, out=cumc64[1:])
+    cumc = cumc64.astype(dt)
+    cumc_mg = cumc - go  # folds the +go of the scan transform into one pass
+    vstep = ins64[A].astype(dt)  # (B, m_max) vertical step cost per row
 
     # Row 0 init (globaligner.py:778-809): corner (0,0,0); level-1 chain
     # along the top row opens one gap then extends.
-    Mrow = np.broadcast_to(bign, (B, n_max + 1)).copy()
+    Mrow = np.empty((n_max + 1, B), dtype=dt)
+    Mrow[:] = bign[None, :]
     Irow = go + cumc
     Drow = Mrow.copy()
-    Mrow[:, 0] = 0
-    Irow[:, 0] = 0
-    Drow[:, 0] = 0
+    Mrow[0] = 0
+    Irow[0] = 0
+    Drow[0] = 0
 
     out = np.empty(B, dtype=np.int64)
 
@@ -131,10 +207,15 @@ def align_cost_batch(
     MI = np.empty_like(Mrow)
     prevmin = np.empty_like(Mrow)
     W = np.empty_like(Mrow)
+    if use_cmp:
+        neq = np.empty((n_max, B), dtype=bool)
+        subbuf = np.empty((n_max, B), dtype=dt)
+        od = dt(o0 - d0)
+        dd = dt(d0)
 
     for i in range(1, m_max + 1):
         ai = A[:, i - 1]
-        vcost = ins_lut[ai]
+        vcost = vstep[:, i - 1]
 
         # Shared min of levels 0/1 from the previous row.
         np.minimum(Mrow, Irow, out=MI)
@@ -144,26 +225,35 @@ def align_cost_batch(
         # pure extension (globaligner.py:812-819).
         np.add(MI, go, out=Dnew)
         np.minimum(Dnew, Drow, out=Dnew)
-        Dnew += vcost[:, None]
+        Dnew += vcost[None, :]
         if i == 1:
-            Dnew[:, 0] = go + vcost
+            Dnew[0] = go + vcost
         else:
-            Dnew[:, 0] = Drow[:, 0] + vcost
+            Dnew[0] = Drow[0] + vcost
 
         # Level 0 (diagonal): min over all 3 previous levels + sub cost.
         np.minimum(MI, Drow, out=prevmin)
-        np.add(prevmin[:, :-1], sub_lut[ai[:, None], Bc], out=Mnew[:, 1:])
-        Mnew[:, 0] = bign[:, 0]
+        if use_cmp:
+            np.not_equal(ai[None, :], BcT, out=neq)
+            np.multiply(neq, od, out=subbuf)
+            if dd:
+                subbuf += dd
+        else:
+            subbuf = sub_lut[ai[None, :], BcT]
+        np.add(prevmin[:-1], subbuf, out=Mnew[1:])
+        Mnew[0] = bign
 
         # Level 1 (horizontal) via prefix-min scan:
         # I[i,j] = cumc[j] + min_{k<j} (min(M[i,k],D[i,k]) + go - cumc[k]).
         np.minimum(Mnew, Dnew, out=W)
-        W += go
-        W -= cumc
-        np.minimum(W[:, 0], bign[:, 0], out=W[:, 0])  # I[i,0] = bign cand
-        np.minimum.accumulate(W, axis=1, out=W)
-        np.add(cumc[:, 1:], W[:, :-1], out=Inew[:, 1:])
-        Inew[:, 0] = bign[:, 0]
+        W -= cumc_mg
+        np.minimum(W[0], bign, out=W[0])  # I[i,0] = bign candidate
+        if dt is np.int16:
+            _prefix_min_inplace_i16(W)
+        else:
+            np.minimum.accumulate(W, axis=0, out=W)
+        np.add(cumc[1:], W[:-1], out=Inew[1:])
+        Inew[0] = bign
 
         Mrow, Mnew = Mnew, Mrow
         Irow, Inew = Inew, Irow
@@ -173,7 +263,7 @@ def align_cost_batch(
         if done.size:
             nj = n[done]
             out[done] = np.minimum(
-                np.minimum(Mrow[done, nj], Irow[done, nj]), Drow[done, nj]
+                np.minimum(Mrow[nj, done], Irow[nj, done]), Drow[nj, done]
             ).astype(np.int64)
     return out
 

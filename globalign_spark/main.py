@@ -18,6 +18,14 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
+
+# spark-submit puts the script's own directory (globalign_spark/) on
+# sys.path, not the repo root; make the package importable either way.
+# With --py-files globalign_spark.zip the zip is already on the path.
+_repo_root = str(Path(__file__).resolve().parent.parent)
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 
 
 def build_parser() -> argparse.ArgumentParser:

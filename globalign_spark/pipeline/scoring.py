@@ -41,9 +41,10 @@ from pyspark.sql.types import (
 from ..config import ENGINE_FULL_DP_CELL_CAP, AlignParams
 from ..kernel import CompiledParams, align_cost_batch
 
-# Max padded cells (B * m_max * n_max) per kernel invocation. 2^26 cells of
-# 3 int64 lattices x ~4 rolling rows is well under 1 GiB per task.
-BATCH_CELL_BUDGET = 1 << 26
+# Max padded cells (B * m_max * n_max) per kernel invocation. Sized so the
+# ~10 rolling int16 lattice rows stay cache-resident per worker (measured
+# peak ~185M cells/s/core at ~2^24; throughput drops ~15% by 2^26).
+BATCH_CELL_BUDGET = 1 << 24
 
 
 def _score_chunk(
