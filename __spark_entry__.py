@@ -199,14 +199,23 @@ group by md5(text)
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature_rows(d, k=5, num_perm=MINHASH_PERM)
-    return sig.groupBy(F.col("_id").alias("doc_id")).agg(
-        F.min(F.when(F.col("j") == 0, F.col("mh"))).alias("sig_0"),
-        F.min(F.when(F.col("j") == 1, F.col("mh"))).alias("sig_1"),
-        F.min(F.when(F.col("j") == MINHASH_PERM - 1, F.col("mh"))).alias(
-            "sig_last"
-        ),
+    sig = dedup.minhash_signature_wide(d, k=5, num_perm=MINHASH_PERM)
+    return sig.select(
+        F.col("_id").alias("doc_id"),
+        F.col("s0").alias("sig_0"),
+        F.col("s1").alias("sig_1"),
+        F.col(f"s{MINHASH_PERM - 1}").alias("sig_last"),
     )
+
+
+_MH_P = dedup.MINHASH_P
+_MH_COEFS = dedup.minhash_coefs(MINHASH_PERM)
+_MH_HASH = f"('0x'||substr(md5(g),1,12))::BIGINT % {_MH_P} as h"
+
+
+def _mh_min(j: int) -> str:
+    a, b = _MH_COEFS[j]
+    return f"min(({a}*h + {b}) % {_MH_P})"
 
 
 SQL_MINHASH_SIGNATURES = f"""
@@ -216,16 +225,12 @@ with grams as (
                                for i in range(1, greatest(length(text)-4,1)+1)])) as g
   from documents
 ),
-perm as (
-  select doc_id, j, min(md5(j::varchar || ':' || g)) as mh
-  from grams, range({MINHASH_PERM}) t(j)
-  group by doc_id, j
-)
+hashed as (select doc_id, {_MH_HASH} from grams)
 select doc_id,
-       min(case when j = 0 then mh end) as sig_0,
-       min(case when j = 1 then mh end) as sig_1,
-       min(case when j = {MINHASH_PERM - 1} then mh end) as sig_last
-from perm group by doc_id
+       {_mh_min(0)} as sig_0,
+       {_mh_min(1)} as sig_1,
+       {_mh_min(MINHASH_PERM - 1)} as sig_last
+from hashed group by doc_id
 """
 
 
@@ -240,6 +245,20 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROWS_PER_BAND = MINHASH_PERM // MINHASH_BANDS
+_MH_SIG_COLS = ", ".join(
+    f"{_mh_min(j)} as s{j}" for j in range(MINHASH_PERM)
+)
+_MH_BAND_ROWS = "\n  union all\n".join(
+    "  select doc_id, {b} as band_id, md5('{b}' || '|' || {cat}) as band_hash"
+    " from sigs".format(
+        b=b,
+        cat=" || ',' || ".join(
+            f"s{j}::varchar"
+            for j in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
 SQL_DEDUP_MINHASH_LSH = f"""
 with docs as {DOCS_AUG_SQL},
 grams as (
@@ -248,16 +267,10 @@ grams as (
                                for i in range(1, greatest(length(text)-4,1)+1)])) as g
   from docs
 ),
-perm as (
-  select doc_id, j, min(md5(j::varchar || ':' || g)) as mh
-  from grams, range({MINHASH_PERM}) t(j)
-  group by doc_id, j
-),
+hashed as (select doc_id, {_MH_HASH} from grams),
+sigs as (select doc_id, {_MH_SIG_COLS} from hashed group by doc_id),
 bands as (
-  select doc_id, j // {_ROWS_PER_BAND} as band_id,
-         md5((j // {_ROWS_PER_BAND})::varchar || '|' ||
-             string_agg(mh, ',' order by j)) as band_hash
-  from perm group by doc_id, j // {_ROWS_PER_BAND}
+{_MH_BAND_ROWS}
 )
 select distinct a.doc_id as id_1, b.doc_id as id_2
 from bands a join bands b

@@ -43,25 +43,96 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_signature(text: Column, k: int = 5, num_perm: int = 16) -> Column:
-    """array<string> of P minhash values: sig_j = min over shingles s of
-    md5(j || ':' || s). Min over md5 hex strings is a valid uniform minhash
-    (lexicographic order on a uniform 128-bit value) and is bit-identical
-    in any engine with md5.
+    """array<long> of P minhash values: sig_j = min over shingles s of
+    (a_j*h(s) + b_j) mod p (same scheme as :func:`minhash_signature_wide`,
+    bit-identical in any engine with md5 + hex decode).
 
     NOTE: higher-order-function lambdas are interpreted (not codegen'd) in
     Spark — fine for a per-row signature column on moderate rows; the bulk
-    pipeline uses :func:`minhash_signature_rows` (explode + codegen md5 +
+    pipeline uses :func:`minhash_signature_wide` (explode + codegen md5 +
     hash aggregate), which is both faster and shuffle-scalable.
     """
-    grams = kgrams(text, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                grams,
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit(":"), s)),
+    coefs = minhash_coefs(num_perm)
+    hashes = F.transform(kgrams(text, k), lambda s: gram_hash(s))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    hashes,
+                    lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P,
+                )
             )
-        ),
+            for a, b in coefs
+        ]
+    )
+
+
+# Minhash permutation arithmetic, portable across Spark and DuckDB SQL:
+# one md5 per gram -> 48-bit int -> reduce mod p = 2^31 - 1 -> independent
+# universal-hash permutations perm_j = (a_j*h + b_j) mod p. a_j*h stays
+# under 2^62 (a_j < p, h < p), so plain BIGINT arithmetic is exact in both
+# engines. Coefficients are fixed literals derived from md5 so both engines
+# see identical values. (A Kirsch-Mitzenmacher h1 + j*h2 form was tried
+# first, but its per-permutation argmins are correlated — one gram with
+# small h1 AND h2 wins every permutation — which inflated LSH candidate
+# sets ~80x.)
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coefs(num_perm: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    def h32(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    return [
+        (h32(f"a{j}") % (MINHASH_P - 1) + 1, h32(f"b{j}") % MINHASH_P)
+        for j in range(num_perm)
+    ]
+
+
+def gram_hash(g: Column) -> Column:
+    """48-bit integer from the first 12 hex chars of md5, reduced mod p.
+    Bit-identical in DuckDB via
+    ``('0x' || substr(md5(g), 1, 12))::BIGINT % 2147483647``."""
+    return (
+        F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def minhash_signature_wide(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+) -> DataFrame:
+    """(_id, s0..s{P-1}) minhash signature as P long columns.
+
+    One md5 per distinct gram; permutation j is the universal hash
+    (a_j*h + b_j) mod p over the gram hash (see MINHASH_P). The P
+    per-document minima are P ``min`` aggregates over one gram explode:
+    partial (map-side) aggregation means the shuffle carries one row per
+    doc per partition — no P-way row multiplication, no string
+    comparisons."""
+    # Parquet scans of small-byte/large-compute tables give one input split;
+    # without this repartition the gram explode and every md5 would run
+    # in a single task (bytes-based splitting is blind to per-row compute).
+    spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism * 2)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(kgrams(F.col(text_col), k)).alias("g"),
+    )
+    hashed = grams.select("_id", gram_hash(F.col("g")).alias("_h"))
+    coefs = minhash_coefs(num_perm)
+    return hashed.groupBy("_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MINHASH_P).alias(
+                f"s{j}"
+            )
+            for j, (a, b) in enumerate(coefs)
+        ]
     )
 
 
@@ -72,26 +143,12 @@ def minhash_signature_rows(
     k: int = 5,
     num_perm: int = 16,
 ) -> DataFrame:
-    """(id, j, mh) minhash rows via explode -> whole-stage-codegen md5 ->
-    partial+final min aggregate. Each gram is hashed exactly once per
-    permutation in generated code (the array-of-lambdas formulation would
-    evaluate md5 through the interpreted expression path)."""
-    # Parquet scans of small-byte/large-compute tables give one input split;
-    # without this repartition the 16x gram explode and every md5 would run
-    # in a single task (bytes-based splitting is blind to per-row compute).
-    spark = df.sparkSession
-    df = df.repartition(spark.sparkContext.defaultParallelism * 2)
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(kgrams(F.col(text_col), k)).alias("g"),
-    )
-    permed = grams.select(
-        "_id",
-        F.explode(F.array(*[F.lit(j) for j in range(num_perm)])).alias("j"),
-        "g",
-    )
-    return permed.groupBy("_id", "j").agg(
-        F.min(F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("g")))).alias("mh")
+    """(_id, j, mh) long-form signature rows: the wide aggregate unpivoted
+    with ``stack`` (a projection — no extra shuffle)."""
+    wide = minhash_signature_wide(df, id_col, text_col, k, num_perm)
+    stack_args = ", ".join(f"{j}, s{j}" for j in range(num_perm))
+    return wide.selectExpr(
+        "_id", f"stack({num_perm}, {stack_args}) as (j, mh)"
     )
 
 
@@ -122,27 +179,30 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
     rows = num_perm // num_bands
-    sig = minhash_signature_rows(df, id_col, text_col, k, num_perm)
-    # Band key: md5(band_id | mh_j0,mh_j1,...) with the slice ordered by j —
-    # array_sort on struct(j, mh) reproduces SQL string_agg(... order by j).
-    exploded = (
-        sig.groupBy("_id", (F.col("j") / rows).cast("int").alias("band_id"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "mh"))),
-                    lambda s: s["mh"],
-                ),
-                ",",
-            ).alias("_joined")
-        )
-        .select(
-            "_id",
-            "band_id",
+    sig = minhash_signature_wide(df, id_col, text_col, k, num_perm)
+    # Band key: md5(band_id | s_j0,s_j1,...) straight from the wide signature
+    # columns — pure codegen projection, then one posexplode of B band rows
+    # per doc.
+    band_cols = F.array(
+        *[
             F.md5(
-                F.concat(F.col("band_id").cast("string"), F.lit("|"), F.col("_joined"))
-            ).alias("band_hash"),
-        )
+                F.concat_ws(
+                    "|",
+                    F.lit(str(b)),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"s{j}").cast("string")
+                            for j in range(b * rows, (b + 1) * rows)
+                        ],
+                    ),
+                )
+            )
+            for b in range(num_bands)
+        ]
+    )
+    exploded = sig.select(
+        "_id", F.posexplode(band_cols).alias("band_id", "band_hash")
     )
     sizes = exploded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
@@ -286,9 +346,20 @@ def ngram_jaccard_pairs(
         return {t[i : i + k] for i in range(max(len(t) - k + 1, 1))}
 
     def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        # Each doc participates in O(block_size) pairs; memoize its gram set
+        # per task instead of rebuilding it for every pair (~250x fewer set
+        # constructions at typical block sizes).
+        cache: dict = {}
+
+        def cached(doc_id, t: str) -> set:
+            s = cache.get(doc_id)
+            if s is None:
+                s = cache[doc_id] = gram_set(t)
+            return s
+
         for pdf in batches:
-            s1 = [gram_set(t) for t in pdf["t1"]]
-            s2 = [gram_set(t) for t in pdf["t2"]]
+            s1 = [cached(i, t) for i, t in zip(pdf["id_1"], pdf["t1"])]
+            s2 = [cached(i, t) for i, t in zip(pdf["id_2"], pdf["t2"])]
             yield _pd.DataFrame(
                 {
                     "id_1": pdf["id_1"],

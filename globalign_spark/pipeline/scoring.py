@@ -41,10 +41,13 @@ from pyspark.sql.types import (
 from ..config import ENGINE_FULL_DP_CELL_CAP, AlignParams
 from ..kernel import CompiledParams, align_cost_batch
 
-# Max padded cells (B * m_max * n_max) per kernel invocation. Sized so the
-# ~10 rolling int16 lattice rows stay cache-resident per worker (measured
-# peak ~185M cells/s/core at ~2^24; throughput drops ~15% by 2^26).
-BATCH_CELL_BUDGET = 1 << 24
+# Max padded cells (B * m_max * n_max) per kernel invocation. Swept under
+# full 32-way contention at sf0.1: 2^25 is the plateau (22.5k pairs/s);
+# smaller budgets pay per-call setup (array alloc + encode) too often
+# (2^22: 14.7k, 2^20: 6.4k), larger ones fall out of cache (2^26: 18.6k).
+BATCH_CELL_BUDGET = int(
+    __import__("os").environ.get("GA_BATCH_CELL_BUDGET", 1 << 25)
+)
 
 
 def _score_chunk(
