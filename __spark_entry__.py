@@ -99,19 +99,21 @@ def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked self-join (J1) + distributed Gotoh kernel (C1-C2) under unit
     costs; lev_dist/align_score vs DuckDB levenshtein."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    a = d.select(
+    # Broadcast self-join: the build side is the whole (small) dimension;
+    # the probe side is round-robin repartitioned FIRST so the O(n^2/blocks)
+    # pair expansion — and the kernel right after it — runs across all
+    # cores with zero shuffle of expanded pair texts. (The alternative,
+    # shuffle-join then repartition pairs, moves every pair's two texts
+    # through a full exchange; per-cell scoring cost makes byte-based AQE
+    # coalescing pick far too few tasks.)
+    a = d.repartition(spark.sparkContext.defaultParallelism * 2).select(
         F.col("doc_id").alias("doc_id_1"), "source", F.col("text").alias("text_1")
     )
     b = d.select(
         F.col("doc_id").alias("doc_id_2"), "source", F.col("text").alias("text_2")
     )
-    pairs = a.join(b, "source").where(F.col("doc_id_1") < F.col("doc_id_2"))
-    # Explicit repartition by pair hash: AQE coalesces this shuffle to very
-    # few partitions by byte size, but scoring cost is per-cell, not
-    # per-byte — without this the whole kernel stage runs in one task.
-    pairs = pairs.repartition(
-        spark.sparkContext.defaultParallelism * 2,
-        F.xxhash64("doc_id_1", "doc_id_2"),
+    pairs = a.join(F.broadcast(b), "source").where(
+        F.col("doc_id_1") < F.col("doc_id_2")
     )
     scored = score_pairs(pairs, unit_cost_params())
     return scored.select(
@@ -137,17 +139,14 @@ def q_er_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     large-star/small-star connected components (J1+C2+J5). Oracle is a
     recursive-CTE transitive closure over the same edge set."""
     d = _docs_aug(spark, sf_dir)
-    a = d.select(
+    # Same broadcast + pre-repartitioned-probe shape as q_align_pairs.
+    a = d.repartition(spark.sparkContext.defaultParallelism * 2).select(
         F.col("doc_id").alias("id_1"), "source", F.col("text").alias("text_1")
     )
     b = d.select(
         F.col("doc_id").alias("id_2"), "source", F.col("text").alias("text_2")
     )
-    pairs = a.join(b, "source").where(F.col("id_1") < F.col("id_2"))
-    pairs = pairs.repartition(
-        spark.sparkContext.defaultParallelism * 2,
-        F.xxhash64("id_1", "id_2"),
-    )
+    pairs = a.join(F.broadcast(b), "source").where(F.col("id_1") < F.col("id_2"))
     scored = score_pairs(pairs, unit_cost_params())
     edges = scored.where(
         (~F.col("oversize"))
@@ -738,7 +737,8 @@ where t.rk <= 3
 
 def q_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fingerprint_overlap_pairs(
-        _docs_aug(spark, sf_dir), k=FP_K, window=FP_WINDOW, min_common=5
+        _docs_aug(spark, sf_dir), k=FP_K, window=FP_WINDOW, min_common=5,
+        max_df=64,
     )
 
 
@@ -755,9 +755,13 @@ wins as (
          unnest([list_min(h[i:i+{FP_WINDOW - 1}])
                  for i in range(1, greatest(len(h)-{FP_WINDOW - 1},1)+1)]) as fp
   from hs
-)
+),
+keep as (
+  select fp from wins group by fp having count(*) <= 64
+),
+capped as (select wins.* from wins join keep using (fp))
 select a.doc_id as id_1, b.doc_id as id_2, count(*) as n_common
-from wins a join wins b on a.fp = b.fp and a.doc_id < b.doc_id
+from capped a join capped b on a.fp = b.fp and a.doc_id < b.doc_id
 group by a.doc_id, b.doc_id
 having count(*) >= 5
 """

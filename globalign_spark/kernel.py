@@ -95,19 +95,48 @@ class CompiledParams:
         return n * self.delta_d + m * self.delta_i - cost
 
 
-def _prefix_min_inplace_i16(W: np.ndarray) -> None:
-    """In-place inclusive prefix-min along axis 0 via doubling steps.
+import os as _os
 
-    Each step is one fully-contiguous vectorized ``minimum`` over the whole
-    lattice — ~2x faster than ``np.minimum.accumulate`` (a scalar loop) for
-    int16 at document shapes. Overlapping in/out is safe for min-scans:
-    extra propagation only ever re-mins already-valid prefix values.
+# "bk" (default): Brent-Kung work-efficient scan (~4n element touches);
+# "hs": Hillis-Steele doubling scan (~n*log2(n) touches, fewer kernel
+# launches); "acc": np.minimum.accumulate (single pass, scalar loop).
+# bk wins under many-core memory contention AND single-core at B >= ~200.
+_SCAN_MODE = _os.environ.get("GA_SCAN", "bk")
+
+
+def _prefix_min_inplace(W: np.ndarray) -> None:
+    """In-place inclusive prefix-min along axis 0.
+
+    Brent-Kung two-sweep scan: each step is a vectorized ``minimum`` over
+    strided row slabs (rows stay contiguous, so cache lines are fully
+    used). Work-efficient — ~2n element reads + ~2n writes total versus
+    n*log2(n) for the doubling scan and a scalar per-element loop for
+    ``np.minimum.accumulate``; the bandwidth saving is what matters when
+    every core runs a scorer task. Overlapping in/out is safe for
+    min-scans: extra propagation only ever re-mins valid prefix values.
     """
-    s = 1
+    if _SCAN_MODE == "acc":
+        np.minimum.accumulate(W, axis=0, out=W)
+        return
     L = W.shape[0]
-    while s < L:
-        np.minimum(W[s:], W[:-s], out=W[s:])
-        s <<= 1
+    if _SCAN_MODE == "hs":
+        s = 1
+        while s < L:
+            np.minimum(W[s:], W[:-s], out=W[s:])
+            s <<= 1
+        return
+    d = 1
+    while d < L:  # up-sweep: block roots hold block minima
+        a = W[2 * d - 1 :: 2 * d]
+        b = W[d - 1 :: 2 * d][: a.shape[0]]
+        np.minimum(a, b, out=a)
+        d <<= 1
+    d >>= 1
+    while d >= 1:  # down-sweep: propagate prefixes into block interiors
+        a = W[2 * d + d - 1 :: 2 * d]
+        b = W[2 * d - 1 :: 2 * d][: a.shape[0]]
+        np.minimum(a, b, out=a)
+        d >>= 1
 
 
 def align_cost_batch(
@@ -248,10 +277,7 @@ def align_cost_batch(
         np.minimum(Mnew, Dnew, out=W)
         W -= cumc_mg
         np.minimum(W[0], bign, out=W[0])  # I[i,0] = bign candidate
-        if dt is np.int16:
-            _prefix_min_inplace_i16(W)
-        else:
-            np.minimum.accumulate(W, axis=0, out=W)
+        _prefix_min_inplace(W)
         np.add(cumc[1:], W[:-1], out=Inew[1:])
         Inew[0] = bign
 

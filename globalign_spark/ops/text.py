@@ -179,10 +179,23 @@ def fingerprint_summary(
 def fingerprint_overlap_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 8, window: int = 4, min_common: int = 2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Docs sharing >= min_common winnowing fingerprints (distinct-fp
-    explode -> equi self-join on fingerprint -> count per pair)."""
+    explode -> equi self-join on fingerprint -> count per pair).
+
+    ``max_df`` drops fingerprints appearing in more than that many docs
+    before the self-join: a boilerplate fingerprint shared by d documents
+    emits d^2/2 join rows, so an uncapped hot fp is a quadratic skew bomb
+    (same discipline as the LSH bucket cap). High-df fingerprints carry no
+    dedup signal anyway — they are template/boilerplate text.
+    """
     fp = fingerprint_rows(df, id_col, text_col, k, window)
+    if max_df is not None:
+        dfreq = fp.groupBy("fp").agg(F.count("*").alias("_df"))
+        fp = fp.join(
+            dfreq.where(F.col("_df") <= max_df).drop("_df"), "fp"
+        )
     a = fp.select(F.col("id").alias("id_1"), "fp")
     b = fp.select(F.col("id").alias("id_2"), "fp")
     return (

@@ -41,12 +41,13 @@ from pyspark.sql.types import (
 from ..config import ENGINE_FULL_DP_CELL_CAP, AlignParams
 from ..kernel import CompiledParams, align_cost_batch
 
-# Max padded cells (B * m_max * n_max) per kernel invocation. Swept under
-# full 32-way contention at sf0.1: 2^25 is the plateau (22.5k pairs/s);
-# smaller budgets pay per-call setup (array alloc + encode) too often
-# (2^22: 14.7k, 2^20: 6.4k), larger ones fall out of cache (2^26: 18.6k).
+# Max padded cells (B * m_max * n_max) per kernel invocation. Swept with 32
+# concurrent kernel processes (Spark-free) at document shapes: 2^24
+# (B ~ 186 at 300x300) maximizes aggregate throughput (51.5k pairs/s);
+# smaller batches pay numpy-call overhead per DP row, larger ones spill the
+# rolling int16 lattices out of the shared L3.
 BATCH_CELL_BUDGET = int(
-    __import__("os").environ.get("GA_BATCH_CELL_BUDGET", 1 << 25)
+    __import__("os").environ.get("GA_BATCH_CELL_BUDGET", 1 << 24)
 )
 
 
