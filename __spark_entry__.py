@@ -184,6 +184,51 @@ from reach group by node
 """
 
 
+def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path flagship: MinHash-LSH blocking bounds the candidate set
+    (instead of all within-block pairs), then alignment scoring, threshold,
+    connected components — the SURVEY.md §3.4 architecture as one query.
+    Candidate count is O(near-dup pairs), not O(n^2/blocks): at 10^12 docs
+    this is the only viable shape. Oracle replicates the identical band
+    scheme + levenshtein + recursive closure in SQL."""
+    d = _docs_aug(spark, sf_dir)
+    cand = dedup.dedup_minhash_lsh(
+        d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
+        bucket_cap=1_000_000_000,
+    )
+    t = d.select("doc_id", "text")
+    pairs = (
+        cand.join(
+            F.broadcast(
+                t.select(F.col("doc_id").alias("id_1"),
+                         F.col("text").alias("text_1"))
+            ),
+            "id_1",
+        )
+        .join(
+            F.broadcast(
+                t.select(F.col("doc_id").alias("id_2"),
+                         F.col("text").alias("text_2"))
+            ),
+            "id_2",
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism * 2,
+            F.xxhash64("id_1", "id_2"),
+        )
+    )
+    scored = score_pairs(pairs, unit_cost_params())
+    edges = scored.where(
+        (~F.col("oversize"))
+        & (
+            1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
+            >= SIM_THRESHOLD
+        )
+    ).select("id_1", "id_2")
+    comps = connected_components(edges, src="id_1", dst="id_2")
+    return comps.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_exact(_docs_aug(spark, sf_dir))
 
@@ -258,9 +303,7 @@ _MH_BAND_ROWS = "\n  union all\n".join(
     )
     for b in range(MINHASH_BANDS)
 )
-SQL_DEDUP_MINHASH_LSH = f"""
-with docs as {DOCS_AUG_SQL},
-grams as (
+_MH_CAND_CTES = f"""grams as (
   select doc_id,
          unnest(list_distinct([substr(text, i, 5)
                                for i in range(1, greatest(length(text)-4,1)+1)])) as g
@@ -270,11 +313,45 @@ hashed as (select doc_id, {_MH_HASH} from grams),
 sigs as (select doc_id, {_MH_SIG_COLS} from hashed group by doc_id),
 bands as (
 {_MH_BAND_ROWS}
+),
+cand as (
+  select distinct a.doc_id as id_1, b.doc_id as id_2
+  from bands a join bands b
+    on a.band_id = b.band_id and a.band_hash = b.band_hash
+   and a.doc_id < b.doc_id
+)"""
+
+SQL_DEDUP_MINHASH_LSH = f"""
+with docs as {DOCS_AUG_SQL},
+{_MH_CAND_CTES}
+select id_1, id_2 from cand
+"""
+
+SQL_ER_LSH_PIPELINE = f"""
+with recursive docs as {DOCS_AUG_SQL},
+{_MH_CAND_CTES},
+edges0 as (
+  select c.id_1, c.id_2
+  from cand c
+  join docs d1 on d1.doc_id = c.id_1
+  join docs d2 on d2.doc_id = c.id_2
+  where 1.0 - levenshtein(d1.text, d2.text)::DOUBLE
+            / greatest(length(d1.text), length(d2.text)) >= {SIM_THRESHOLD}
+),
+edges as (
+  select id_1 as src, id_2 as dst from edges0
+  union select id_2, id_1 from edges0
+),
+nodes as (select distinct src as id from edges),
+reach as (
+  select id as node, id as comp from nodes
+  union
+  select e.dst as node, r.comp
+  from reach r join edges e on e.src = r.node
+  where r.comp < e.dst
 )
-select distinct a.doc_id as id_1, b.doc_id as id_2
-from bands a join bands b
-  on a.band_id = b.band_id and a.band_hash = b.band_hash
- and a.doc_id < b.doc_id
+select node as doc_id, min(comp) as component
+from reach group by node
 """
 
 
@@ -860,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "align_pairs": q_align_pairs,
         "er_end_to_end": q_er_end_to_end,
+        "er_lsh_pipeline": q_er_lsh_pipeline,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -888,6 +966,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "align_pairs": SQL_ALIGN_PAIRS,
         "er_end_to_end": SQL_ER_END_TO_END,
+        "er_lsh_pipeline": SQL_ER_LSH_PIPELINE,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

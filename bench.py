@@ -30,6 +30,7 @@ sys.path.insert(0, str(REPO))
 HEADLINE = [
     "align_pairs",
     "er_end_to_end",
+    "er_lsh_pipeline",
     "dedup_exact",
     "dedup_minhash_lsh",
     "simhash",
