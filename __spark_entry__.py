@@ -456,7 +456,7 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_FINGERPRINTS = f"""
 with hs as (
   select doc_id,
-         [md5(substr(text, i, {FP_K}))
+         [('0x'||substr(md5(substr(text, i, {FP_K})),1,12))::BIGINT
           for i in range(1, greatest(length(text)-{FP_K - 1},1)+1)] as h
   from documents
 ),
@@ -823,7 +823,7 @@ SQL_FINGERPRINT_OVERLAP = f"""
 with docs as {DOCS_AUG_SQL},
 hs as (
   select doc_id,
-         [md5(substr(text, i, {FP_K}))
+         [('0x'||substr(md5(substr(text, i, {FP_K})),1,12))::BIGINT
           for i in range(1, greatest(length(text)-{FP_K - 1},1)+1)] as h
   from docs
 ),

@@ -70,6 +70,13 @@ def _run_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
+        # Long single-JVM sessions accumulate checkpoint blocks, shuffle
+        # state, and garbage that measurably degrade later shuffle-heavy
+        # queries (observed 3-4x on window aggregations late in a 19-query
+        # session); clear caches and nudge GC between queries so each
+        # measurement reflects the query, not session history.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     return times
 
 

@@ -122,9 +122,18 @@ def add_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def kgram_hashes(text: Column, k: int = 8) -> Column:
-    """md5 hex of every k-char gram (position order kept — not distinct)."""
+    """48-bit integer hash (first 12 hex chars of md5, base-16 decoded) of
+    every k-char gram, position order kept — not distinct. BIGINT
+    fingerprints keep the winnowing shuffles 8x narrower than 32-char hex
+    strings, and DuckDB computes the identical value via
+    ``('0x'||substr(md5(g),1,12))::BIGINT``."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.md5(F.substr(text, i, F.lit(k))))
+    return F.transform(
+        idx,
+        lambda i: F.conv(
+            F.substring(F.md5(F.substr(text, i, F.lit(k))), 1, 12), 16, 10
+        ).cast("long"),
+    )
 
 
 def fingerprint_rows(
