@@ -147,7 +147,11 @@ def q_er_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id_2"), "source", F.col("text").alias("text_2")
     )
     pairs = a.join(F.broadcast(b), "source").where(F.col("id_1") < F.col("id_2"))
-    scored = score_pairs(pairs, unit_cost_params())
+    # Banded scoring: edge membership only needs costs up to the threshold
+    # budget; pairs certified over it come back NULL and fail the filter,
+    # at ~2.5x fewer DP cells. Costs that pass are bit-exact (kernel fuzz
+    # in tests/test_kernel_parity.py), so edges match the full-DP oracle.
+    scored = score_pairs(pairs, unit_cost_params(), sim_threshold=SIM_THRESHOLD)
     edges = scored.where(
         (~F.col("oversize"))
         & (
@@ -217,7 +221,7 @@ def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.xxhash64("id_1", "id_2"),
         )
     )
-    scored = score_pairs(pairs, unit_cost_params())
+    scored = score_pairs(pairs, unit_cost_params(), sim_threshold=SIM_THRESHOLD)
     edges = scored.where(
         (~F.col("oversize"))
         & (

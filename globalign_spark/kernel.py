@@ -58,7 +58,8 @@ class CompiledParams:
 
     __slots__ = ("sub", "dele", "ins", "go", "max_cost", "max_score",
                  "delta_d", "delta_i", "alpha_pad_mask", "uniform_sub",
-                 "dele_alpha_max", "ins_alpha_max")
+                 "dele_alpha_max", "ins_alpha_max",
+                 "dele_alpha_min", "ins_alpha_min")
 
     def __init__(self, params: AlignParams):
         costing = params.costing_dict()
@@ -80,6 +81,8 @@ class CompiledParams:
         self.alpha_pad_mask[0] = True
         self.dele_alpha_max = int(self.dele[known].max()) if known.size else 0
         self.ins_alpha_max = int(self.ins[known].max()) if known.size else 0
+        self.dele_alpha_min = int(self.dele[known].min()) if known.size else 1
+        self.ins_alpha_min = int(self.ins[known].min()) if known.size else 1
         self.uniform_sub = None
         if known.size:
             sq = self.sub[np.ix_(known, known)]
@@ -143,6 +146,7 @@ def align_cost_batch(
     seqs1: list[str],
     seqs2: list[str],
     cp: CompiledParams,
+    band: int | None = None,
 ) -> np.ndarray:
     """Minimal alignment costs for a batch of pairs (int64 array, len B).
 
@@ -158,6 +162,18 @@ def align_cost_batch(
         (no 2D gather), lattices in int16 when the value bound allows.
       - generic: int32 lattices + 2D LUT gather; preserves the reference's
         absurd-cost sentinel semantics for out-of-alphabet characters.
+
+    ``band`` enables Ukkonen banding for thresholded scoring: only cells
+    with |i - j| <= band are computed (the same sweep over sliced column
+    views, plus a bign patch on the column entering the band each row so
+    stale values can't leak in). Any alignment path that leaves the band
+    makes > band off-diagonal moves, each costing at least the cheapest
+    gap step — so for every pair whose true cost is <= band *
+    min_gap_step_cost the banded result is EXACT, and a banded result
+    above that bound certifies the true cost is above it too. Pairs with
+    |m - n| > band are returned as their bign sentinel without sweeping.
+    The reference computes the full dense table and cites banding as an
+    aspiration only (/root/reference/README.md:100-113).
     """
     B = len(seqs1)
     if B == 0:
@@ -246,40 +262,70 @@ def align_cost_batch(
         ai = A[:, i - 1]
         vcost = vstep[:, i - 1]
 
+        if band is None:
+            lo, hi = 0, n_max
+        else:
+            lo = max(0, i - band)
+            hi = min(n_max, i + band)
+            if lo > n_max:
+                # Band is past every column: no computable cells this row.
+                # Any pair finishing here is |m-n| > band and gets the
+                # sentinel in the final overwrite.
+                continue
+            if i >= 2 and hi == i + band:
+                # Column hi enters the band this row: the previous row
+                # never computed it (its stored value is the row-0 init,
+                # an underestimate for row i-1) — mask it as unreachable.
+                Mrow[hi] = bign
+                Irow[hi] = bign
+                Drow[hi] = bign
+        sl = slice(lo, hi + 1)
+        j0 = max(lo, 1)  # first column with a diagonal predecessor
+        # The diagonal step reads the previous row at j0-1, one column LEFT
+        # of this row's band — extend the prev-row min slices to cover it
+        # (that column was inside the previous row's band, so it's fresh).
+        slp = slice(j0 - 1, hi + 1)
+
         # Shared min of levels 0/1 from the previous row.
-        np.minimum(Mrow, Irow, out=MI)
+        np.minimum(Mrow[slp], Irow[slp], out=MI[slp])
 
         # Level 2 (vertical): min(min(M,I)+go, D) + cost(a_i,'-'). Column 0
         # follows the reference's border chain: open once at i == 1, then
         # pure extension (globaligner.py:812-819).
-        np.add(MI, go, out=Dnew)
-        np.minimum(Dnew, Drow, out=Dnew)
-        Dnew += vcost[None, :]
-        if i == 1:
-            Dnew[0] = go + vcost
-        else:
-            Dnew[0] = Drow[0] + vcost
+        np.add(MI[sl], go, out=Dnew[sl])
+        np.minimum(Dnew[sl], Drow[sl], out=Dnew[sl])
+        Dnew[sl] += vcost[None, :]
+        if lo == 0:
+            if i == 1:
+                Dnew[0] = go + vcost
+            else:
+                Dnew[0] = Drow[0] + vcost
 
         # Level 0 (diagonal): min over all 3 previous levels + sub cost.
-        np.minimum(MI, Drow, out=prevmin)
+        np.minimum(MI[slp], Drow[slp], out=prevmin[slp])
         if use_cmp:
-            np.not_equal(ai[None, :], BcT, out=neq)
-            np.multiply(neq, od, out=subbuf)
+            nq = neq[j0 - 1 : hi]
+            sb = subbuf[j0 - 1 : hi]
+            np.not_equal(ai[None, :], BcT[j0 - 1 : hi], out=nq)
+            np.multiply(nq, od, out=sb)
             if dd:
-                subbuf += dd
+                sb += dd
         else:
-            subbuf = sub_lut[ai[None, :], BcT]
-        np.add(prevmin[:-1], subbuf, out=Mnew[1:])
-        Mnew[0] = bign
+            sb = sub_lut[ai[None, :], BcT[j0 - 1 : hi]]
+        np.add(prevmin[j0 - 1 : hi], sb, out=Mnew[j0 : hi + 1])
+        if lo == 0:
+            Mnew[0] = bign
 
         # Level 1 (horizontal) via prefix-min scan:
         # I[i,j] = cumc[j] + min_{k<j} (min(M[i,k],D[i,k]) + go - cumc[k]).
-        np.minimum(Mnew, Dnew, out=W)
-        W -= cumc_mg
-        np.minimum(W[0], bign, out=W[0])  # I[i,0] = bign candidate
-        _prefix_min_inplace(W)
-        np.add(cumc[1:], W[:-1], out=Inew[1:])
-        Inew[0] = bign
+        # The scan is seeded at the band's left edge with bign (column 0's
+        # I level, or band confinement for lo > 0).
+        np.minimum(Mnew[sl], Dnew[sl], out=W[sl])
+        W[sl] -= cumc_mg[sl]
+        np.minimum(W[lo], bign, out=W[lo])
+        _prefix_min_inplace(W[sl])
+        np.add(cumc[lo + 1 : hi + 1], W[lo:hi], out=Inew[lo + 1 : hi + 1])
+        Inew[lo] = bign
 
         Mrow, Mnew = Mnew, Mrow
         Irow, Inew = Inew, Irow
@@ -291,6 +337,13 @@ def align_cost_batch(
             out[done] = np.minimum(
                 np.minimum(Mrow[nj, done], Irow[nj, done]), Drow[nj, done]
             ).astype(np.int64)
+    if band is not None:
+        # |m-n| > band pairs never have an in-band sink cell; their
+        # extraction read stale values. Certify them as over-band via the
+        # reference sentinel (caller treats cost > its cap as pruned).
+        off = np.abs(m - n) > band
+        if off.any():
+            out[off] = ((cp.max_cost + 1) * np.maximum(m, n))[off]
     return out
 
 

@@ -119,9 +119,16 @@ def run_pipeline(
         cand = ck.read("s1_candidates")
 
     pairs_with_text = blocking.attach_texts(cand, norm, "url", "norm_text")
+    # Banded scoring: only costs at/under the edge threshold are needed
+    # downstream; certified-over-threshold pairs carry over_band lineage.
     scored = ck.write(
         "s3_scores",
-        scoring.with_similarity(scoring.score_pairs(pairs_with_text, cfg.params)),
+        scoring.with_similarity(
+            scoring.score_pairs(
+                pairs_with_text, cfg.params,
+                sim_threshold=cfg.similarity_threshold,
+            )
+        ),
     )
 
     edges = ck.write(

@@ -52,9 +52,22 @@ BATCH_CELL_BUDGET = int(
 
 
 def _score_chunk(
-    t1: np.ndarray, t2: np.ndarray, cp: CompiledParams, cell_cap: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Score one pandas chunk; returns (cost, score, oversize) arrays."""
+    t1: np.ndarray,
+    t2: np.ndarray,
+    cp: CompiledParams,
+    cell_cap: int,
+    sim_threshold: float | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Score one pandas chunk; returns (cost, score, oversize, over_band).
+
+    With ``sim_threshold`` set, scoring is Ukkonen-banded: each pair only
+    needs its cost when similarity >= threshold, i.e. cost <= cap(p) =
+    ceil((1-t)*max(len)) + 1. The kernel band is cap/min_gap_step (max over
+    the sub-batch), which makes every in-cap cost EXACT and certifies
+    over-cap pairs without computing the full lattice — ~(2*band+1)/n of
+    the cells at document shapes. over_band pairs get cost = -1 here; the
+    caller nulls them.
+    """
     k = len(t1)
     lens1 = np.array([len(s) for s in t1], dtype=np.int64)
     lens2 = np.array([len(s) for s in t2], dtype=np.int64)
@@ -62,6 +75,14 @@ def _score_chunk(
     ok = (cells > 0) & (cells <= cell_cap)
     cost = np.full(k, -1, dtype=np.int64)
     score = np.full(k, 0, dtype=np.int64)
+    over_band = np.zeros(k, dtype=bool)
+
+    banded = sim_threshold is not None
+    if banded:
+        maxlen = np.maximum(lens1, lens2)
+        cap = np.ceil((1.0 - sim_threshold) * maxlen).astype(np.int64) + 1
+        min_step = max(1, min(cp.dele_alpha_min, cp.ins_alpha_min))
+        band_req = (cap + min_step - 1) // min_step
 
     idx = np.nonzero(ok)[0]
     if idx.size:
@@ -85,13 +106,18 @@ def _score_chunk(
                 m_max, n_max = mm, nn
                 end += 1
             sel = order[start:end]
+            band = int(band_req[sel].max()) if banded else None
             c = align_cost_batch(
-                [t1[p] for p in sel], [t2[p] for p in sel], cp
+                [t1[p] for p in sel], [t2[p] for p in sel], cp, band=band
             )
             cost[sel] = c
             score[sel] = cp.final_score(c, lens1[sel], lens2[sel])
             start = end
-    return cost, score, ~ok
+    if banded:
+        over_band = ok & (cost > cap)
+        cost[over_band] = -1
+        score[over_band] = 0
+    return cost, score, ~ok, over_band
 
 
 def score_pairs(
@@ -102,6 +128,7 @@ def score_pairs(
     cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
     sort_by_length: bool = True,
     keep_texts: bool = False,
+    sim_threshold: float | None = None,
 ) -> DataFrame:
     """Score a candidate-pairs DataFrame with the batched Gotoh kernel.
 
@@ -119,6 +146,12 @@ def score_pairs(
     Parity: cost/score match the reference's find_global_alignment exactly
     (tests/test_scoring_spark.py fuzzes this against the kernel, which is
     fuzzed against /root/reference itself).
+
+    ``sim_threshold`` enables Ukkonen-banded scoring for thresholded
+    pipelines (ER edges): costs stay exact for every pair that can reach
+    the similarity threshold; pairs certified below it come back with
+    cost/score NULL and ``over_band = true`` (explicit lineage, not a
+    silent drop) at a fraction of the lattice cells.
     """
     if sort_by_length:
         pairs = pairs.sortWithinPartitions(
@@ -129,15 +162,17 @@ def score_pairs(
         for f in pairs.schema.fields
         if keep_texts or f.name not in (text_1, text_2)
     ]
+    tail = [
+        StructField("len_1", LongType(), False),
+        StructField("len_2", LongType(), False),
+        StructField("cost", LongType(), True),
+        StructField("score", LongType(), True),
+        StructField("oversize", BooleanType(), False),
+    ]
+    if sim_threshold is not None:
+        tail.append(StructField("over_band", BooleanType(), False))
     schema = StructType(
-        [f for f in pairs.schema.fields if f.name in keep_cols]
-        + [
-            StructField("len_1", LongType(), False),
-            StructField("len_2", LongType(), False),
-            StructField("cost", LongType(), True),
-            StructField("score", LongType(), True),
-            StructField("oversize", BooleanType(), False),
-        ]
+        [f for f in pairs.schema.fields if f.name in keep_cols] + tail
     )
     # CompiledParams is rebuilt per task from the tiny frozen AlignParams —
     # cheap (128x128 LUT) and avoids shipping numpy arrays in the closure.
@@ -149,15 +184,20 @@ def score_pairs(
                 continue
             t1 = pdf[text_1].to_numpy()
             t2 = pdf[text_2].to_numpy()
-            cost, score, oversize = _score_chunk(t1, t2, cp, cell_cap)
+            cost, score, oversize, over_band = _score_chunk(
+                t1, t2, cp, cell_cap, sim_threshold
+            )
             out = pdf[keep_cols].copy()
             out["len_1"] = [len(s) for s in t1]
             out["len_2"] = [len(s) for s in t2]
             out["cost"] = cost
             out["score"] = score
             out["oversize"] = oversize
-            out.loc[oversize, "cost"] = None
-            out.loc[oversize, "score"] = None
+            null_rows = oversize | over_band
+            if sim_threshold is not None:
+                out["over_band"] = over_band
+            out.loc[null_rows, "cost"] = None
+            out.loc[null_rows, "score"] = None
             yield out
 
     return pairs.mapInPandas(run, schema=schema)

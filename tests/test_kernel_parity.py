@@ -177,3 +177,61 @@ def test_unit_cost_is_levenshtein():
     for (a, b), got in zip(pairs, c):
         lev = duckdb.sql(f"select levenshtein('{a}','{b}')").fetchone()[0]
         assert got == lev
+
+
+def test_banded_exactness_and_certification():
+    """Ukkonen-banded batch scoring: exact for every pair whose true cost
+    is within band * min_gap_step; certified (> cap) otherwise; never
+    below the full-DP cost. Exercises band-edge (|m-n| == band) pairs,
+    which once leaked a stale diagonal column."""
+    import random
+
+    from globalign_spark.kernel import CompiledParams, align_cost_batch
+    from globalign_spark.config import resolve_params
+
+    rng = random.Random(11)
+
+    def mk(n):
+        return "".join(rng.choice("ACGT") for _ in range(n))
+
+    def mutate(s, edits):
+        s = list(s)
+        for _ in range(edits):
+            op = rng.choice("ids")
+            i = rng.randrange(len(s))
+            if op == "i":
+                s.insert(i, rng.choice("ACGT"))
+            elif op == "d" and len(s) > 2:
+                del s[i]
+            else:
+                s[i] = rng.choice("ACGT")
+        return "".join(s)
+
+    for params in (
+        unit_cost_params(),
+        resolve_params(match_score=2, mismatch_score=-3,
+                       gap_open_score=-4, gap_extension_score=-2),
+    ):
+        cp = CompiledParams(params)
+        min_step = min(cp.dele_alpha_min, cp.ins_alpha_min)
+        s1, s2 = [], []
+        for _ in range(150):
+            base = mk(rng.randint(20, 200))
+            s1.append(base)
+            s2.append(mutate(base, rng.randint(0, 40)))
+        for _ in range(40):
+            s1.append(mk(rng.randint(20, 200)))
+            s2.append(mk(rng.randint(20, 200)))
+        # band-edge pairs: |m - n| exactly == band for band=10
+        for _ in range(10):
+            base = mk(rng.randint(40, 120))
+            s1.append(base + mk(10))
+            s2.append(base)
+        full = align_cost_batch(s1, s2, cp)
+        for band in (5, 10, 30, 500):
+            banded = align_cost_batch(s1, s2, cp, band=band)
+            cap = band * min_step
+            exact = full <= cap
+            assert (banded[exact] == full[exact]).all()
+            assert (banded[~exact] > cap).all()
+            assert (banded >= full).all()
