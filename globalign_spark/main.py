@@ -1,6 +1,7 @@
 """spark-submit entry point for the full ER pipeline.
 
-  spark-submit --master local[8] --py-files globalign_spark.zip \
+  spark-submit --master local[8] --driver-memory 24g \
+      --py-files globalign_spark.zip \
       globalign_spark/main.py --warehouse /tmp/er_wh --n-entities 2000
 
 On a real cluster the same invocation runs with --master yarn/k8s and the
@@ -44,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-perm", type=int, default=64)
     p.add_argument("--num-bands", type=int, default=16)
     p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--sn-window", type=int, default=6,
+                   help="sorted-neighborhood window (both text orders)")
     p.add_argument("--text-from-html", action="store_true",
                    help="re-extract text from the html column (byte-identical"
                         " invariant path)")
@@ -65,6 +68,18 @@ def main(argv=None) -> int:
         master=args.master,
         shuffle_partitions=args.shuffle_partitions,
     )
+    # Under spark-submit the driver JVM pre-exists, so the session
+    # builder's spark.driver.memory is silently ignored — and local-mode
+    # runs put every executor thread in that heap. Surface it early.
+    heap_gb = spark._jvm.Runtime.getRuntime().maxMemory() / (1 << 30)
+    if heap_gb < 4:
+        print(
+            f"WARNING: driver heap is {heap_gb:.1f} GiB; pass "
+            "--driver-memory 24g to spark-submit for local[N] runs "
+            "(candidate-join + scorer stages need several GiB at 10k+ "
+            "pages)",
+            file=sys.stderr,
+        )
     if args.pages_parquet:
         pages = spark.read.parquet(args.pages_parquet)
         truth = None
@@ -77,6 +92,7 @@ def main(argv=None) -> int:
         num_perm=args.num_perm,
         num_bands=args.num_bands,
         bucket_cap=args.bucket_cap,
+        sn_window=args.sn_window,
         similarity_threshold=args.similarity_threshold,
         text_from_html=args.text_from_html,
     )

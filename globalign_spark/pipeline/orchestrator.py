@@ -33,9 +33,15 @@ class PipelineConfig:
     warehouse: str
     shingle_k: int = 5
     num_perm: int = 64
+    # 16 bands x 4 rows keeps LSH precision-oriented: measured on the
+    # fixture corpus, truth-pair and junk-pair shingle-Jaccard overlap at
+    # the 1% tail (truth p1 = 0.22 vs junk p95 = 0.215 at k=5), so any
+    # banding permissive enough for that tail floods the scorer with junk
+    # (32x2 produced 15x the candidates). The tail is instead covered by
+    # the sorted-neighborhood passes (linear cost, below).
     num_bands: int = 16
     bucket_cap: int = 200
-    sn_window: int = 3
+    sn_window: int = 6
     similarity_threshold: float = 0.8
     text_from_html: bool = False
     params: AlignParams = field(default_factory=unit_cost_params)
@@ -112,7 +118,17 @@ def run_pipeline(
             norm, id_col="url", key_col="host", order_col="norm_text",
             window=cfg.sn_window,
         )
-        cand = lsh_pairs.union(sn_pairs).distinct()
+        # Second linear pass ordered by REVERSED text: a variant whose
+        # leading characters mutated sorts far from its cluster in prefix
+        # order but adjacent in suffix order. Together the two orders +
+        # transitive closure cover the low-Jaccard tail that LSH can't
+        # reach without candidate blow-up.
+        norm_rev = norm.withColumn("_rev", F.reverse(F.col("norm_text")))
+        sn_rev = blocking.sorted_neighborhood_candidates(
+            norm_rev, id_col="url", key_col="host", order_col="_rev",
+            window=cfg.sn_window,
+        )
+        cand = lsh_pairs.union(sn_pairs).union(sn_rev).distinct()
         stats_row = lsh_stats.collect()[0].asDict()
         cand = ck.write("s1_candidates", cand, meta={"lsh_bucket_stats": stats_row})
     else:

@@ -74,6 +74,65 @@ def stream_dedup_counts(
     )
 
 
+FIRST_SEEN_SCHEMA = StructType(
+    [
+        StructField("host", StringType(), True),
+        StructField("url", StringType(), True),
+        StructField("text_md5", StringType(), True),
+    ]
+)
+
+_FIRST_SEEN_STATE = StructType(
+    [StructField("seen", StringType(), True)]  # comma-joined md5 set
+)
+
+
+def stream_first_seen(norm: DataFrame) -> DataFrame:
+    """Custom stateful operator: first-seen exact dedup per host.
+
+    ``applyInPandasWithState`` keeps a per-host set of content hashes in
+    the state store; only the first occurrence of each (host, text_md5) is
+    emitted, across micro-batches and across restarts (state lives in the
+    checkpoint). This is the pattern for stateful ops the built-ins can't
+    express; for plain streaming dedup prefer ``dropDuplicates`` +
+    watermark (RocksDB-backed, bounded state). State here is a flat
+    hash-set serialized per host — at 10^12 scale the per-host sets are
+    bounded by per-host page counts because blocking keys partition the
+    state, same discipline as the batch blocking layer.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        seen = set(state.get[0].split(",")) if state.exists else set()
+        out_urls, out_md5s = [], []
+        for pdf in pdfs:
+            for url, md5 in zip(pdf["url"], pdf["text_md5"]):
+                if md5 not in seen:
+                    seen.add(md5)
+                    out_urls.append(url)
+                    out_md5s.append(md5)
+        state.update((",".join(sorted(seen)),))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]] * len(out_urls),
+                "url": out_urls,
+                "text_md5": out_md5s,
+            }
+        )
+
+    keyed = norm.select(
+        "host", "url", F.md5(F.col("norm_text")).alias("text_md5")
+    )
+    return keyed.groupBy("host").applyInPandasWithState(
+        fn,
+        outputStructType=FIRST_SEEN_SCHEMA,
+        stateStructType=_FIRST_SEEN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     result: DataFrame, checkpoint_dir: str, out_dir: str
 ) -> None:

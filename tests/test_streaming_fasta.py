@@ -122,3 +122,60 @@ def test_streaming_incremental_resume(spark, tmp_path):
     assert n2 == p1.count() + p2.count()
     # output files from the first drain were not rewritten
     assert len(glob.glob(str(out) + "/*.parquet")) > 1
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState: per-host first-seen dedup holds state across
+    micro-batches AND restarts (state store in the checkpoint)."""
+    import pandas as pd
+
+    src = tmp_path / "fs_in"
+    out = tmp_path / "fs_out"
+    ck = tmp_path / "fs_ck"
+
+    def write_pages(rows, mode):
+        pdf = pd.DataFrame(
+            rows, columns=["url", "text"]
+        )
+        pdf["warc_ts"] = pd.Timestamp("2026-01-01")
+        pdf["html"] = None
+        pdf["lang"] = "en"
+        sdf = spark.createDataFrame(pdf[["url", "warc_ts", "html", "text", "lang"]])
+        sdf.write.mode(mode).parquet(str(src))
+
+    def drain():
+        s = streaming.stream_normalize(
+            streaming.stream_pages(spark, str(src)), text_from_html=False
+        )
+        streaming.run_available_now(
+            streaming.stream_first_seen(s), str(ck), str(out)
+        )
+
+    write_pages(
+        [
+            ("http://a.com/1", "hello world"),
+            ("http://a.com/2", "hello world"),   # dup of /1, same host
+            ("http://b.com/1", "hello world"),   # same text, other host
+            ("http://a.com/3", "something else"),
+        ],
+        "overwrite",
+    )
+    drain()
+    got1 = spark.read.parquet(str(out))
+    # per-host dedup: a.com keeps 1 of the 2 dup urls + the distinct one
+    assert got1.where("host = 'a.com'").count() == 2
+    assert got1.where("host = 'b.com'").count() == 1
+
+    # restart with new files: the duplicate text must STILL be suppressed
+    write_pages(
+        [
+            ("http://a.com/4", "hello world"),    # dup across restart
+            ("http://a.com/5", "brand new text"),
+        ],
+        "append",
+    )
+    drain()
+    got2 = spark.read.parquet(str(out))
+    a_md5s = [r.text_md5 for r in got2.where("host = 'a.com'").collect()]
+    assert len(a_md5s) == 3  # not 4: /4 was suppressed by restored state
+    assert len(set(a_md5s)) == 3
