@@ -72,6 +72,20 @@ class AlignmentResults(NamedTuple):
             fh.write(s)
 
 
+def print_nested_list_aligned(nested_list) -> None:
+    """Column-aligned pretty-print of a list of equal-length rows
+    (reference K5, /root/reference/src/globalign/conclude.py:204-249):
+    every column is right-aligned to its widest cell plus one space, one
+    trailing newline per row, printed in a single call."""
+    cols = list(zip(*[[str(c) for c in row] for row in nested_list]))
+    widths = [max(len(c) for c in col) for col in cols]
+    rows = zip(*[
+        [f"{c:>{w + 1}}" for c in col] for col, w in zip(cols, widths)
+    ])
+    print("".join("".join(r) + "\n" for r in rows))
+    return None
+
+
 def prettify_mat(mat: dict[str, dict[str, int]]) -> str:
     """Column-width-aligned rendering of a nested-dict matrix."""
     col_headers = list(next(iter(mat.values())).keys())

@@ -120,3 +120,86 @@ def test_prettify_mat_alignment():
 def test_admission_cap():
     with pytest.raises(RuntimeError):
         find_global_alignment(seq_1="A" * 5000, seq_2="C" * 4001)
+
+
+def test_draw_random_seq_reference_goldens():
+    """Seeded outputs are bit-identical to the reference's own golden tests
+    (reference tests/start_test.py:68-115)."""
+    from globalign_spark.simulate import draw_random_seq
+
+    assert draw_random_seq(["A", "C", "T", "G"], 7, 10, 19) == "GTTCGCA"
+    assert draw_random_seq(["A", "C", "T", "G"], 5, 8, 345) == "AGACGAC"
+    assert draw_random_seq([""], 7, 10, 19) == ""
+    assert draw_random_seq(["the", "fat", "cat"], 7, 10, 19) == (
+        "catfatfatfatcatthethe"
+    )
+
+
+def test_draw_random_seq_errors_match_reference():
+    import pytest
+
+    from globalign_spark.simulate import draw_random_seq
+
+    with pytest.raises(ValueError):
+        draw_random_seq(["A"], -1, 5, 1)
+    with pytest.raises(ValueError):
+        draw_random_seq(["A"], 7, 5, 1)
+    with pytest.raises(IndexError):
+        draw_random_seq([], 3, 5, 1)
+    with pytest.raises(TypeError):
+        draw_random_seq(None, 3, 5, 1)
+
+
+def test_draw_two_random_seqs_matches_reference():
+    """Deterministic regimes (divergence 0 => no unseeded substitution
+    letters) are call-sequence identical to the reference."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from globalign.start import draw_two_random_seqs as ref_draw
+    finally:
+        sys.path.pop(0)
+    from globalign_spark.simulate import draw_two_random_seqs
+
+    for seed_1, seed_2, lens in [
+        (1, 2, (20, 30, 20, 30)),
+        (7, 7, (10, 15, 18, 25)),
+        (99, 3, (30, 30, 12, 12)),
+    ]:
+        ours = draw_two_random_seqs(
+            list("ACGT"), *lens, divergence=0.0, seed_1=seed_1, seed_2=seed_2
+        )
+        theirs = ref_draw(
+            list("ACGT"), *lens, divergence=0.0, seed_1=seed_1, seed_2=seed_2
+        )
+        assert ours == tuple(theirs)
+    # divergence > 0: substitution letters are unseeded in the reference,
+    # so only structure is checkable: seq_1 deterministic + length budget.
+    s1a, s2a = draw_two_random_seqs(
+        list("ACGT"), 40, 40, 40, 40, divergence=0.3, seed_1=5, seed_2=6
+    )
+    s1b, _ = draw_two_random_seqs(
+        list("ACGT"), 40, 40, 40, 40, divergence=0.3, seed_1=5, seed_2=6
+    )
+    assert s1a == s1b and len(s2a) == 40
+
+
+def test_print_nested_list_aligned_matches_reference(capsys):
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from globalign.conclude import (
+            print_nested_list_aligned as ref_print,
+        )
+    finally:
+        sys.path.pop(0)
+    from globalign_spark.api import print_nested_list_aligned
+
+    rows = [[1, "xy", 300], [22, "z", 4], [333, "", 55]]
+    print_nested_list_aligned(rows)
+    ours = capsys.readouterr().out
+    ref_print(rows)
+    theirs = capsys.readouterr().out
+    assert ours == theirs
