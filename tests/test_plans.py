@@ -81,3 +81,39 @@ def test_scorer_stage_repartitions_by_pair_hash(spark):
     assert "hashpartitioning(xxhash64" in plan.replace(" ", "").lower() or (
         "Exchange hashpartitioning" in plan
     )
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Tables bucketed on the join key join with zero Exchange nodes —
+    the co-located join pattern for repeated big-table joins at scale."""
+    from globalign_spark.pipeline import bucketing
+    from globalign_spark.sources.fixtures import pages_df
+
+    # managed tables land in the session's spark-warehouse dir
+    # (gitignored); dropped below. Also clear orphaned dirs a previous
+    # crashed run may have left (drop-if-exists won't).
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bk_docs", "bk_meta"):
+        spark.sql(f"drop table if exists {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    pages = pages_df(spark, 40, seed=9).select("url", "text")
+    meta = pages.select("url", F.length("text").alias("n_chars"))
+    bucketing.write_bucketed(pages, "bk_docs", "url", n_buckets=8)
+    bucketing.write_bucketed(meta, "bk_meta", "url", n_buckets=8)
+
+    # Force the non-broadcast path: at fixture size the dimension would be
+    # auto-broadcast; the point here is the big-big case, where bucketing
+    # makes the SMJ exchange-free.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketing.bucketed_join(spark, "bk_docs", "bk_meta", "url")
+        plan = _plan(joined, mode="simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == pages.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("drop table if exists bk_docs")
+    spark.sql("drop table if exists bk_meta")
