@@ -42,6 +42,7 @@ HEADLINE = [
     "token_counts",
     "ann_topk",
     "ann_lsh",
+    "ann_ivf",
     "embedding_near_dup",
     "sorted_neighborhood",
     "events_window",

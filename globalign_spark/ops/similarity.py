@@ -152,6 +152,72 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 25,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-flat approximate top-k: the scale path for huge corpora.
+
+    Coarse quantizer: every ``centroid_stride``-th vector (by id) is a
+    centroid — deterministic, broadcastable, and expressible identically
+    in the SQL oracle (a trained k-means only shifts centroid quality,
+    not the operator shape). Corpus vectors are assigned to their nearest
+    centroid's inverted list (one shuffle by centroid id); each query
+    probes its ``nprobe`` nearest lists, so only |corpus|*nprobe/n_lists
+    candidates are scored instead of the full cross join.
+    """
+    cents = corpus.where((F.col(id_col) % centroid_stride) == 0).select(
+        F.col(id_col).alias("cid"),
+        _as_double(F.col(vec_col)).alias("centv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    assign = (
+        c.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("centv")), 6))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("neighbor_id", "cv", "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centv")), 6))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cos_sim")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     block_col: str = "label",
