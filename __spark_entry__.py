@@ -600,6 +600,7 @@ from r where rank <= {ANN_K}
 # the same operator concentrates neighbors into few lists.
 IVF_STRIDE = 50
 IVF_NPROBE = 4
+IVF_MAX_CENTROIDS = 4096
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -607,6 +608,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K,
         centroid_stride=IVF_STRIDE, nprobe=IVF_NPROBE,
+        max_centroids=IVF_MAX_CENTROIDS,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -619,7 +621,9 @@ _SQL_COS = (
 SQL_ANN_IVF = f"""
 with cents as (
   select vec_id as cid, embedding::DOUBLE[] as centv
-  from embeddings where vec_id % {IVF_STRIDE} = 0
+  from embeddings
+  where vec_id % {IVF_STRIDE} = 0
+    and vec_id < {IVF_STRIDE} * {IVF_MAX_CENTROIDS}
 ),
 c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
 assign as (

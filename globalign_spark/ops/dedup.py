@@ -348,12 +348,18 @@ def ngram_jaccard_pairs(
     def run(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
         # Each doc participates in O(block_size) pairs; memoize its gram set
         # per task instead of rebuilding it for every pair (~250x fewer set
-        # constructions at typical block sizes).
+        # constructions at typical block sizes). Bounded: a task whose
+        # partition spans many distinct large docs must not accumulate
+        # every gram set for its lifetime, so the cache resets at a size
+        # cap (keeps within-batch and most cross-batch locality).
         cache: dict = {}
+        cache_cap = 100_000
 
         def cached(doc_id, t: str) -> set:
             s = cache.get(doc_id)
             if s is None:
+                if len(cache) >= cache_cap:
+                    cache.clear()
                 s = cache[doc_id] = gram_set(t)
             return s
 

@@ -160,18 +160,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroid_stride: int = 25,
     nprobe: int = 3,
+    max_centroids: int = 4096,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the scale path for huge corpora.
 
-    Coarse quantizer: every ``centroid_stride``-th vector (by id) is a
-    centroid — deterministic, broadcastable, and expressible identically
-    in the SQL oracle (a trained k-means only shifts centroid quality,
-    not the operator shape). Corpus vectors are assigned to their nearest
-    centroid's inverted list (one shuffle by centroid id); each query
-    probes its ``nprobe`` nearest lists, so only |corpus|*nprobe/n_lists
-    candidates are scored instead of the full cross join.
+    Coarse quantizer: every ``centroid_stride``-th vector (by id), capped
+    at ``max_centroids`` — deterministic, broadcastable, and expressible
+    identically in the SQL oracle (a trained k-means only shifts centroid
+    quality, not the operator shape). The cap keeps the assignment stage
+    O(n * max_centroids) — without it the centroid count grows with the
+    corpus and assignment goes quadratic. Corpus vectors are assigned to
+    their nearest centroid's inverted list (one shuffle by centroid id);
+    each query probes its ``nprobe`` nearest lists, so only
+    ~|corpus| * nprobe / n_lists candidates are scored instead of the
+    full cross join.
     """
-    cents = corpus.where((F.col(id_col) % centroid_stride) == 0).select(
+    cents = corpus.where(
+        ((F.col(id_col) % centroid_stride) == 0)
+        & (F.col(id_col) < centroid_stride * max_centroids)
+    ).select(
         F.col(id_col).alias("cid"),
         _as_double(F.col(vec_col)).alias("centv"),
     )
