@@ -168,6 +168,8 @@ def scaling_main(args) -> dict:
     would — is the primary criterion; 8 -> 32 is reported alongside for
     transparency.
     """
+    import shutil as _shutil
+
     res: dict[int, dict] = {}
     for n in (4, 16, 8, 32):
         cmd = [
@@ -175,6 +177,12 @@ def scaling_main(args) -> dict:
             "--master", f"local[{n}]", "--sf-dir", args.sf_dir,
             "--reps", str(args.reps),
         ]
+        # Pin each leg to exactly N cores: an unpinned local[4] bounces its
+        # threads across the whole chip, harvesting turbo headroom and L3
+        # that a true 4-core executor would not have — which deflates the
+        # measured N -> 4N efficiency by inflating the N baseline.
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=str(REPO), check=True
         )
