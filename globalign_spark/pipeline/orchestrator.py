@@ -44,6 +44,12 @@ class PipelineConfig:
     sn_window: int = 6
     similarity_threshold: float = 0.8
     text_from_html: bool = False
+    # Collapse byte-identical texts to one representative before blocking:
+    # exact duplicates always pass the similarity threshold, so clusters
+    # are provably unchanged, while blocking/scoring cost drops by the
+    # square of the dup mass (a Common-Crawl-style corpus is ~half exact
+    # duplicates). Components are expanded back to every member url.
+    exact_dedup_first: bool = True
     params: AlignParams = field(default_factory=unit_cost_params)
 
 
@@ -104,6 +110,20 @@ def run_pipeline(
         .select("url", "host", "norm_text", "lang", "warc_ts"),
     )
 
+    rep_map = None
+    if cfg.exact_dedup_first:
+        hashed = norm.select("url", F.md5(F.col("norm_text")).alias("_md5"))
+        reps = hashed.groupBy("_md5").agg(F.min("url").alias("rep_url"))
+        rep_map = ck.write(
+            "s0b_rep_map", hashed.join(reps, "_md5").select("url", "rep_url")
+        )
+        # Only representatives flow through blocking + scoring.
+        norm = norm.join(
+            rep_map.where(F.col("url") == F.col("rep_url")).select("url"),
+            "url",
+            "left_semi",
+        )
+
     if not ck.has("s1_candidates"):
         lsh_pairs, lsh_stats = blocking.lsh_candidates(
             norm,
@@ -155,16 +175,45 @@ def run_pipeline(
         ).select("id_1", "id_2", "similarity"),
     )
 
-    comps = ck.write(
-        "s5_components",
-        clustering.connected_components(edges, src="id_1", dst="id_2"),
-    )
+    rep_comps = clustering.connected_components(edges, src="id_1", dst="id_2")
+    if cfg.exact_dedup_first:
+        # Expand representative components back to every member url.
+        # Each rep is the min url of its exact group, so component labels
+        # (min member url of the fuzzy component) are identical to the
+        # no-prepass pipeline's. Groups whose rep has no fuzzy edge become
+        # their own cluster via the coalesce.
+        group_sizes = rep_map.groupBy("rep_url").agg(
+            F.count("*").alias("_gsz")
+        )
+        comps = ck.write(
+            "s5_components",
+            rep_map.join(group_sizes, "rep_url")
+            .join(
+                rep_comps.withColumnRenamed("id", "rep_url"),
+                "rep_url",
+                "left",
+            )
+            # mirror the no-prepass output: every url in a cluster of
+            # size >= 2 — fuzzy (rep has a component) or exact (group of
+            # byte-identical texts with >= 2 members, whose pairs the
+            # no-prepass pipeline would have scored at similarity 1).
+            .where(F.col("component").isNotNull() | (F.col("_gsz") >= 2))
+            .select(
+                F.col("url").alias("id"),
+                F.coalesce("component", "rep_url").alias("component"),
+            ),
+        )
+    else:
+        comps = ck.write("s5_components", rep_comps)
 
+    stage_names = ["s0_normalized", "s1_candidates", "s3_scores",
+                   "s4_edges", "s5_components"]
+    if cfg.exact_dedup_first:
+        stage_names.insert(1, "s0b_rep_map")
     summary = {
         "stages": {
             n: {k: v for k, v in ck.manifest(n).items() if k != "lineage"}
-            for n in ["s0_normalized", "s1_candidates", "s3_scores",
-                      "s4_edges", "s5_components"]
+            for n in stage_names
         }
     }
     if labeled_pairs is not None:

@@ -106,7 +106,7 @@ def test_pipeline_resume_skips_stages(spark, pipeline_result):
         p.parent.name: p.stat().st_mtime
         for p in Path(wh).glob("*/_MANIFEST.json")
     }
-    assert len(before) == 5
+    assert len(before) == 6
     t0 = time.time()
     cfg = PipelineConfig(warehouse=str(wh), text_from_html=True)
     summary2 = run_pipeline(spark, pages, cfg)
@@ -126,3 +126,39 @@ def test_pipeline_precision_recall_breakdown(pipeline_result):
     ev = summary["eval"]
     assert ev["precision"] >= 0.99
     assert ev["recall"] >= 0.98
+
+
+def test_exact_dedup_prepass_preserves_clusters(spark, tmp_path):
+    """exact_dedup_first collapses byte-identical texts before blocking;
+    the expanded components must produce the same predicted pair set as
+    the pipeline without the prepass, on a corpus WITH exact duplicates."""
+    from pyspark.sql import functions as F
+
+    from globalign_spark.pipeline.orchestrator import (
+        PipelineConfig, run_pipeline,
+    )
+    from globalign_spark.sources.fixtures import pages_df
+    from globalign_spark.pipeline.metrics import predicted_pairs
+
+    base = pages_df(spark, 40, seed=13)
+    # inject exact duplicates: clone 15 pages under new urls, same text
+    clones = base.where(F.col("variant_id") == 0).limit(15).withColumn(
+        "url", F.concat(F.col("url"), F.lit("?utm=copy"))
+    )
+    pages = base.unionByName(clones)
+
+    outs = {}
+    for flag in (True, False):
+        cfg = PipelineConfig(
+            warehouse=str(tmp_path / f"wh_{flag}"), exact_dedup_first=flag
+        )
+        run_pipeline(spark, pages, cfg)
+        comps = spark.read.parquet(
+            str(tmp_path / f"wh_{flag}" / "s5_components" / "data")
+        )
+        outs[flag] = {
+            tuple(r) for r in predicted_pairs(comps).collect()
+        }
+    assert outs[True] == outs[False]
+    # the clones really did cluster with their originals
+    assert any("?utm=copy" in a or "?utm=copy" in b for a, b in outs[True])
