@@ -44,6 +44,14 @@ FP_WINDOW = 4
 
 _PLANES = similarity.hyperplanes(EMB_DIM, LSH_PLANES, seed=7)
 
+# Oracle-parity override ONLY: the DuckDB SQL twins have no hot-bucket skew
+# guard, so the Spark side disables its cap to compute the identical
+# function. Library/pipeline defaults keep a FINITE cap
+# (dedup.dedup_minhash_lsh bucket_cap=500, blocking.lsh_candidates 200,
+# PipelineConfig.bucket_cap) — never copy this constant into production
+# paths; tests/test_ops.py asserts the defaults stay finite.
+ORACLE_UNCAPPED = 1_000_000_000
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -198,7 +206,7 @@ def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs_aug(spark, sf_dir)
     cand = dedup.dedup_minhash_lsh(
         d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
-        bucket_cap=1_000_000_000,
+        bucket_cap=ORACLE_UNCAPPED,
     )
     t = d.select("doc_id", "text")
     pairs = (
@@ -288,7 +296,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         num_perm=MINHASH_PERM,
         num_bands=MINHASH_BANDS,
-        bucket_cap=1_000_000_000,
+        bucket_cap=ORACLE_UNCAPPED,
     )
 
 
@@ -389,7 +397,9 @@ from bits group by doc_id
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = dedup.add_simhash(_docs_aug(spark, sf_dir))
-    return dedup.simhash_near_pairs(docs, max_hamming=6)
+    return dedup.simhash_near_pairs(
+        docs, max_hamming=6, bucket_cap=ORACLE_UNCAPPED
+    )
 
 
 SQL_SIMHASH_NEAR_PAIRS = f"""
@@ -938,11 +948,22 @@ def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = dedup.ngram_jaccard_pairs(
         _docs_aug(spark, sf_dir), block_col="source", k=3, threshold=0.5
     ).select(F.col("id_1").alias("u1"), F.col("id_2").alias("u2"))
-    tp = pred.join(truth, ["u1", "u2"], "left_semi").count()
-    n_pred = pred.count()
-    n_truth = truth.count()
-    fp = pred.join(truth, ["u1", "u2"], "left_anti").count()
-    fn = truth.join(pred, ["u1", "u2"], "left_anti").count()
+    # ONE action over the expensive mapInPandas pipeline: full-outer join of
+    # the two (distinct-by-construction) pair sets, then a single agg. The
+    # previous shape ran pred 3x (semi-count, count, anti-count) — at 100x
+    # corpus the recompute IS the query budget (VERDICT r1 item 3).
+    m = pred.withColumn("_p", F.lit(1)).join(
+        truth.withColumn("_t", F.lit(1)), ["u1", "u2"], "full_outer"
+    )
+    row = m.agg(
+        F.count("_p").alias("n_pred"),
+        F.count("_t").alias("n_truth"),
+        F.count(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)).alias(
+            "tp"
+        ),
+    ).first()
+    n_pred, n_truth, tp = row["n_pred"], row["n_truth"], row["tp"]
+    fp, fn = n_pred - tp, n_truth - tp
     base = spark.createDataFrame(
         [(n_pred, n_truth, tp, fp, fn)],
         "n_pred long, n_truth long, tp long, fp long, fn long",

@@ -209,10 +209,12 @@ def costing_mat_to_luts(
 
 
 def packaged_matrix_path(name: str) -> Path:
-    """Path to a matrix shipped with the reference data files.
+    """Path to a scoring matrix vendored with this package.
 
-    We read the reference's shipped ``.mtx`` data files (pure data, not code)
-    directly; if unavailable, BLOSUM-by-name support degrades gracefully.
+    The ``.mtx`` files under ``globalign_spark/data/scoring_matrices/`` are
+    public-domain substitution-matrix data (BLOSUM50/BLOSUM62 from NCBI, plus
+    a simple nucleotide matrix) in the same whitespace table format the
+    reference ships (cf. reference start.py --scoring_mat_name handling).
+    The engine has no runtime dependency on the reference checkout.
     """
-    p = Path("/root/reference/src/globalign/data/scoring_matrices") / f"{name}.mtx"
-    return p
+    return Path(__file__).resolve().parent / "data" / "scoring_matrices" / f"{name}.mtx"

@@ -231,31 +231,35 @@ def simhash32(text: Column) -> Column:
     """
     toks = F.filter(F.split(text, " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.md5(t))
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(31)),
-        lambda i: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
+    # Single pass over the token hashes: fold into a 32-element vote array.
+    # (The previous shape was 32 separate F.aggregate walks, each of which
+    # re-evaluated the md5 transform — 32x the hash work and 32x the array
+    # traversals; VERDICT r1 item 4.) `h` below is the already-materialized
+    # md5 hex string, so each token hashes exactly once.
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda i: F.when(
                     F.substr(h, i + 1, F.lit(1)).isin(
                         "8", "9", "a", "b", "c", "d", "e", "f"
                     ),
                     F.lit(1),
                 ).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+            ),
+            lambda a, v: a + v,
+        ),
     )
     return F.aggregate(
         F.zip_with(
-            bits,
+            votes,
             F.sequence(F.lit(0), F.lit(31)),
             # 2^i via pow: exact in double for i <= 31 (shiftleft's numBits
             # argument only accepts a Python int, not a per-row column).
-            lambda b, i: b.cast("long")
+            lambda vote, i: F.when(vote > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
             * F.pow(F.lit(2.0), i.cast("double")).cast("long"),
         ),
         F.lit(0).cast("long"),
@@ -268,18 +272,30 @@ def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_near_pairs(
-    with_sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    with_sim: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bucket_cap: int = 10_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the high
     16 bits (docs differing only in low bits collide; standard multi-probe
-    would rotate the block — one probe here)."""
+    would rotate the block — one probe here).
+
+    Boilerplate-heavy corpora collapse onto few simhashes, so a degenerate
+    16-bit block goes quadratic; blocks over ``bucket_cap`` members are
+    excluded from the self-join (same skew discipline as
+    ``dedup_minhash_lsh``) and their loss is never silent — counted lineage
+    is available via ``simhash_block_stats``.
+    """
     blocked = with_sim.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright("simhash", 16).alias("blk"),
     )
-    a = blocked.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")
-    b = blocked.select(F.col("id").alias("id_2"), F.col("simhash").alias("s2"), "blk")
+    sizes = blocked.groupBy("blk").agg(F.count("*").alias("bsz"))
+    ok = blocked.join(sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"), "blk")
+    a = ok.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")
+    b = ok.select(F.col("id").alias("id_2"), F.col("simhash").alias("s2"), "blk")
     ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
     return (
         a.join(b, "blk")
@@ -287,6 +303,27 @@ def simhash_near_pairs(
         .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_1", "id_2", "hamming")
+    )
+
+
+def simhash_block_stats(
+    with_sim: DataFrame, bucket_cap: int = 10_000
+) -> DataFrame:
+    """Counted lineage for the simhash 16-bit block join: how many blocks /
+    member docs the ``bucket_cap`` skew guard would exclude."""
+    sizes = (
+        with_sim.select(F.shiftright("simhash", 16).alias("blk"))
+        .groupBy("blk")
+        .agg(F.count("*").alias("bsz"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("bsz") > bucket_cap, 1).otherwise(0)).alias(
+            "n_blocks_dropped"
+        ),
+        F.sum(F.when(F.col("bsz") > bucket_cap, F.col("bsz")).otherwise(0)).alias(
+            "n_docs_in_dropped"
+        ),
     )
 
 

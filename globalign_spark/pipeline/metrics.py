@@ -34,9 +34,20 @@ def pairwise_prf(pred: DataFrame, truth: DataFrame) -> dict:
     t = truth.select(
         F.col(truth.columns[0]).alias("u1"), F.col(truth.columns[1]).alias("u2")
     ).distinct()
-    n_pred = p.count()
-    n_truth = t.count()
-    tp = p.join(t, ["u1", "u2"], "left_semi").count()
+    # Single pass: full-outer join of the two distinct pair sets + one agg.
+    # Running separate count()/semi-count() actions would re-execute the
+    # (potentially expensive) pred lineage once per action.
+    m = p.withColumn("_p", F.lit(1)).join(
+        t.withColumn("_t", F.lit(1)), ["u1", "u2"], "full_outer"
+    )
+    row = m.agg(
+        F.count("_p").alias("n_pred"),
+        F.count("_t").alias("n_truth"),
+        F.count(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("tp"),
+    ).first()
+    n_pred, n_truth, tp = row["n_pred"], row["n_truth"], row["tp"]
     precision = tp / n_pred if n_pred else 1.0
     recall = tp / n_truth if n_truth else 1.0
     f1 = (

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+from tests.conftest import requires_reference
+
 REF_ENV = {"PYTHONPATH": "/root/reference/src"}
 
 
@@ -46,6 +48,7 @@ def run_ref(args):
     )
 
 
+@requires_reference
 def test_cli_stdout_matches_reference_bytes():
     args = ["--seq_1", "ACGT", "--seq_2", "AGT"]
     ours, ref = run_ours(args), run_ref(args)
@@ -54,6 +57,7 @@ def test_cli_stdout_matches_reference_bytes():
     assert ours.stdout == ref.stdout
 
 
+@requires_reference
 def test_cli_named_matrix_and_gap_open():
     args = [
         "--seq_1", "HEAGAWGHEE", "--seq_2", "PAWHEAE",
@@ -69,6 +73,7 @@ def test_cli_named_matrix_and_gap_open():
     assert ours_sc == ref_sc and len(ours_sc) == 2
 
 
+@requires_reference
 def test_cli_fasta_input_and_file_output(tmp_path):
     fasta = tmp_path / "pairs.fasta"
     fasta.write_text(">a\nACGTACGT\n>b\nACGTCGT\n")

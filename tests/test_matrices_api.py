@@ -9,6 +9,8 @@ admission cap (:361-376), FASTA reading (:614-688).
 
 import pytest
 
+from tests.conftest import requires_reference
+
 from globalign_spark import matrices as M
 from globalign_spark.api import find_global_alignment, prettify_mat
 from globalign_spark.config import (
@@ -150,6 +152,7 @@ def test_draw_random_seq_errors_match_reference():
         draw_random_seq(None, 3, 5, 1)
 
 
+@requires_reference
 def test_draw_two_random_seqs_matches_reference():
     """Deterministic regimes (divergence 0 => no unseeded substitution
     letters) are call-sequence identical to the reference."""
@@ -185,6 +188,7 @@ def test_draw_two_random_seqs_matches_reference():
     assert s1a == s1b and len(s2a) == 40
 
 
+@requires_reference
 def test_print_nested_list_aligned_matches_reference(capsys):
     import sys
 

@@ -184,3 +184,28 @@ def test_frame_sample_plan(spark):
     assert {(r.media_id, r.frame_idx) for r in out} == {
         (m, f) for m in (0, 1) for f in range(4)
     }
+
+
+def test_skew_cap_defaults_stay_finite():
+    """ORACLE_UNCAPPED (__spark_entry__.py) disables the hot-bucket guard
+    ONLY for DuckDB-oracle parity. The production defaults must stay finite
+    or a single degenerate LSH/simhash bucket goes quadratic at scale."""
+    import inspect
+
+    from globalign_spark.ops import dedup as _dedup
+    from globalign_spark.pipeline import blocking as _blocking
+    from globalign_spark.pipeline.orchestrator import PipelineConfig
+
+    assert PipelineConfig(warehouse="/tmp/unused").bucket_cap < 1_000_000
+    assert (
+        inspect.signature(_dedup.dedup_minhash_lsh)
+        .parameters["bucket_cap"].default < 1_000_000
+    )
+    assert (
+        inspect.signature(_blocking.lsh_candidates)
+        .parameters["bucket_cap"].default < 1_000_000
+    )
+    assert (
+        inspect.signature(_dedup.simhash_near_pairs)
+        .parameters["bucket_cap"].default < 1_000_000
+    )
