@@ -114,7 +114,8 @@ def q_align_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-join then repartition pairs, moves every pair's two texts
     # through a full exchange; per-cell scoring cost makes byte-based AQE
     # coalescing pick far too few tasks.)
-    a = d.repartition(spark.sparkContext.defaultParallelism * 2).select(
+    mult = int(os.environ.get("GA_PART_MULT", "2"))
+    a = d.repartition(spark.sparkContext.defaultParallelism * mult).select(
         F.col("doc_id").alias("doc_id_1"), "source", F.col("text").alias("text_1")
     )
     b = d.select(
@@ -139,6 +140,48 @@ select a.doc_id as doc_id_1, b.doc_id as doc_id_2,
          as align_score
 from documents a join documents b
   on a.source = b.source and a.doc_id < b.doc_id
+"""
+
+
+def q_align_pairs_oversize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversize-routing scorer (scoring.score_pairs_with_fallback): pairs
+    over the DP cell cap are scored by linear shingle Jaccard instead of
+    being NULLed/dropped — every candidate pair comes back with a
+    similarity and a ``method`` lineage column. cell_cap=40k makes both
+    routes carry real traffic on this corpus (~25% gotoh / 75% shingle)."""
+    from globalign_spark.pipeline.scoring import score_pairs_with_fallback
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = d.repartition(spark.sparkContext.defaultParallelism * 2).select(
+        F.col("doc_id").alias("id_1"), "source", F.col("text").alias("text_1")
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_2"), "source", F.col("text").alias("text_2")
+    )
+    pairs = a.join(F.broadcast(b), "source").where(F.col("id_1") < F.col("id_2"))
+    return score_pairs_with_fallback(
+        pairs, unit_cost_params(), cell_cap=40_000, shingle_k=5
+    )
+
+
+SQL_ALIGN_PAIRS_OVERSIZE = """
+with d as (
+  select doc_id, source, text,
+         list_distinct([substr(text, i, 5)
+                        for i in range(1, greatest(length(text)-4,1)+1)]) as grams
+  from documents
+)
+select a.doc_id as id_1, b.doc_id as id_2,
+       case when length(a.text)::BIGINT * length(b.text) <= 40000
+            then 'gotoh' else 'shingle' end as method,
+       round(case when length(a.text)::BIGINT * length(b.text) <= 40000
+             then 1.0 - levenshtein(a.text, b.text)::DOUBLE
+                      / greatest(length(a.text), length(b.text))
+             else len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / (len(a.grams) + len(b.grams)
+                     - len(list_intersect(a.grams, b.grams)))
+             end, 6) as similarity
+from d a join d b on a.source = b.source and a.doc_id < b.doc_id
 """
 
 
@@ -623,6 +666,24 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with a TRAINED coarse quantizer (sample-based spherical
+    k-means on the driver, FAISS-style; assignment stays distributed).
+    No oracle_sql entry: trained centroids are data-dependent floats whose
+    means depend on summation order — not bit-reproducible in SQL. The
+    driver records a rows-only check; recall vs exact brute force is
+    asserted in tests/test_ops.py and reported in BENCH/BASELINE.md."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(
+        emb, n_centroids=20, iters=5, sample_cap=100_000
+    )
+    out = similarity.ivf_topk(
+        emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K,
+        nprobe=IVF_NPROBE, centroids=cents,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 _SQL_COS = (
     "round(list_dot_product({a}, {b})"
     " / (sqrt(list_dot_product({a}, {a}))"
@@ -1037,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "align_pairs_oversize": q_align_pairs_oversize,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1048,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_trained": q_ann_ivf_trained,
         "embedding_near_dup": q_embedding_near_dup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
@@ -1067,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "align_pairs_oversize": SQL_ALIGN_PAIRS_OVERSIZE,
         "simhash": SQL_SIMHASH,
         "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,
         "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -245,16 +245,19 @@ def align_cost_batch(
 
     out = np.empty(B, dtype=np.int64)
 
-    # Preallocated scratch (reused every row; all ops write via out=).
+    # Preallocated scratch (reused every row; all ops write via out=). The
+    # slab count IS the scale lever here: every row sweep touches each slab
+    # once, and the whole set must stay inside the per-core L2 (2 MiB on
+    # this box) or 32 concurrent scorer tasks saturate the shared L3/DRAM.
+    # prevmin/subbuf were eliminated by fusing into MI/Mnew (two fewer
+    # (n,B) slabs of traffic per row).
     Mnew = np.empty_like(Mrow)
     Dnew = np.empty_like(Mrow)
     Inew = np.empty_like(Mrow)
     MI = np.empty_like(Mrow)
-    prevmin = np.empty_like(Mrow)
     W = np.empty_like(Mrow)
     if use_cmp:
         neq = np.empty((n_max, B), dtype=bool)
-        subbuf = np.empty((n_max, B), dtype=dt)
         od = dt(o0 - d0)
         dd = dt(d0)
 
@@ -302,17 +305,22 @@ def align_cost_batch(
                 Dnew[0] = Drow[0] + vcost
 
         # Level 0 (diagonal): min over all 3 previous levels + sub cost.
-        np.minimum(MI[slp], Drow[slp], out=prevmin[slp])
+        # MI is dead after Dnew above, so the 3-level prev-row min fuses
+        # into it in place (no separate prevmin slab).
+        np.minimum(MI[slp], Drow[slp], out=MI[slp])
         if use_cmp:
+            # Substitution costs materialize directly into Mnew's target
+            # rows (bool*scalar -> int16), no subbuf slab.
             nq = neq[j0 - 1 : hi]
-            sb = subbuf[j0 - 1 : hi]
+            mslice = Mnew[j0 : hi + 1]
             np.not_equal(ai[None, :], BcT[j0 - 1 : hi], out=nq)
-            np.multiply(nq, od, out=sb)
+            np.multiply(nq, od, out=mslice)
             if dd:
-                sb += dd
+                mslice += dd
+            mslice += MI[j0 - 1 : hi]
         else:
             sb = sub_lut[ai[None, :], BcT[j0 - 1 : hi]]
-        np.add(prevmin[j0 - 1 : hi], sb, out=Mnew[j0 : hi + 1])
+            np.add(MI[j0 - 1 : hi], sb, out=Mnew[j0 : hi + 1])
         if lo == 0:
             Mnew[0] = bign
 

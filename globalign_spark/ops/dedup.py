@@ -359,21 +359,43 @@ def ngram_jaccard_pairs(
             F.xxhash64("id_1", "id_2"),
         )
     )
+    counted = pair_gram_overlap(pairs, k=k)
+    return (
+        counted.withColumn(
+            "jaccard", F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_1", "id_2", "jaccard")
+    )
 
-    # |A∩B| and |A|+|B| via an Arrow-batched pandas iterator UDF: Python
-    # set intersection is ~50x the interpreted (non-codegen) ArrayIntersect
-    # expression for 500-element gram sets. Integer outputs only — the
-    # division and HALF_UP rounding stay JVM-side so the DuckDB oracle
-    # matches bit-for-bit.
+
+def pair_gram_overlap(
+    pairs: DataFrame,
+    k: int,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    t1: str = "t1",
+    t2: str = "t2",
+) -> DataFrame:
+    """k-gram set overlap counts per pair: (id_1, id_2, _i = |A∩B|,
+    _s = |A|+|B|), so jaccard = _i / (_s - _i).
+
+    |A∩B| and |A|+|B| via an Arrow-batched pandas iterator UDF: Python
+    set intersection is ~50x the interpreted (non-codegen) ArrayIntersect
+    expression for 500-element gram sets. Integer outputs only — the
+    division and HALF_UP rounding stay JVM-side so the DuckDB oracle
+    matches bit-for-bit. Shared by ngram_jaccard_pairs and the oversize-
+    pair fallback scorer (pipeline/scoring.score_pairs_with_fallback).
+    """
     from collections.abc import Iterator as _It
 
     import pandas as _pd
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import IntegerType, StructField, StructType
 
     out_schema = StructType(
         [
-            StructField("id_1", pairs.schema["id_1"].dataType, True),
-            StructField("id_2", pairs.schema["id_2"].dataType, True),
+            StructField(id_1, pairs.schema[id_1].dataType, True),
+            StructField(id_2, pairs.schema[id_2].dataType, True),
             StructField("_i", IntegerType(), False),
             StructField("_s", IntegerType(), False),
         ]
@@ -401,22 +423,15 @@ def ngram_jaccard_pairs(
             return s
 
         for pdf in batches:
-            s1 = [cached(i, t) for i, t in zip(pdf["id_1"], pdf["t1"])]
-            s2 = [cached(i, t) for i, t in zip(pdf["id_2"], pdf["t2"])]
+            s1 = [cached(i, t) for i, t in zip(pdf[id_1], pdf[t1])]
+            s2 = [cached(i, t) for i, t in zip(pdf[id_2], pdf[t2])]
             yield _pd.DataFrame(
                 {
-                    "id_1": pdf["id_1"],
-                    "id_2": pdf["id_2"],
+                    id_1: pdf[id_1],
+                    id_2: pdf[id_2],
                     "_i": [len(x & y) for x, y in zip(s1, s2)],
                     "_s": [len(x) + len(y) for x, y in zip(s1, s2)],
                 }
             )
 
-    counted = pairs.mapInPandas(run, schema=out_schema)
-    return (
-        counted.withColumn(
-            "jaccard", F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6)
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("id_1", "id_2", "jaccard")
-    )
+    return pairs.mapInPandas(run, schema=out_schema)

@@ -47,16 +47,51 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+try:  # optional dependency — never required at import time
+    import PIL.Image as _PILImage  # type: ignore
+
+    PIL_AVAILABLE = True
+except ImportError:  # pragma: no cover - exercised when Pillow is absent
+    _PILImage = None
+    PIL_AVAILABLE = False
+
+
 class DecodeBackend:
     """Real decoder — requires codec libraries not present in this
     container. The Spark plumbing around it is fully functional; swap in
-    this backend when Pillow / soundfile / pyav are available."""
+    :class:`PillowDecodeBackend` when Pillow is available (audio/video
+    would take soundfile / pyav the same way)."""
 
     def decode(self, kind: str, blob: bytes) -> np.ndarray:
         raise NotImplementedError(
             "media decoding requires codec libraries (Pillow/soundfile/pyav) "
             "not installed in this environment; use FakeDecodeBackend"
         )
+
+
+class PillowDecodeBackend(DecodeBackend):
+    """Real image decode via Pillow (optional dependency): blob -> 8x8
+    grayscale thumbnail -> 64-dim L1-normalized feature vector. Instantiable
+    only when Pillow is importable; the Arrow/mapInPandas plumbing is
+    identical to the fake backend, so swapping backends changes zero Spark
+    plan shape."""
+
+    def __init__(self) -> None:
+        if not PIL_AVAILABLE:
+            raise NotImplementedError(
+                "Pillow is not installed; PillowDecodeBackend unavailable"
+            )
+
+    def decode(self, kind: str, blob: bytes) -> np.ndarray:
+        if kind not in ("", "image"):
+            raise NotImplementedError(f"PillowDecodeBackend: kind={kind!r}")
+        import io
+
+        with _PILImage.open(io.BytesIO(blob)) as im:
+            g = im.convert("L").resize((8, 8))
+            arr = np.asarray(g, dtype=np.float64).ravel()
+        s = arr.sum()
+        return arr / s if s else arr
 
 
 class FakeDecodeBackend(DecodeBackend):

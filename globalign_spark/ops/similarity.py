@@ -152,6 +152,60 @@ def lsh_bucket_topk(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 20,
+    iters: int = 5,
+    sample_cap: int = 100_000,
+) -> list[list[float]]:
+    """Spherical k-means coarse quantizer, trained the way FAISS trains one:
+    on a bounded deterministic sample pulled to the driver, with the
+    assignment stage staying fully distributed afterwards.
+
+    - Sample: rows with the smallest ids up to ``sample_cap`` (deterministic
+      — no RNG, no partition-order dependence). At 10^12 rows the sample is
+      still ``sample_cap`` vectors (~100k x 64 doubles = 50 MB), so this
+      never becomes a driver bottleneck.
+    - Init: stride over the sorted sample (the previous stride quantizer IS
+      the initialization).
+    - Lloyd iterations on L2-normalized vectors (spherical k-means matches
+      the cosine assignment used downstream); empty clusters re-seeded from
+      the worst-assigned points. Centroids rounded to 6 dp so they inline
+      exactly into plans as literals.
+
+    Exact-SQL-oracle note: trained centroids are data-dependent floats
+    whose means depend on summation order, so unlike the stride quantizer
+    this variant has no bit-exact DuckDB twin; the driver records a
+    rows-only check for queries built on it (ann_ivf keeps the fully
+    oracle-checked stride path).
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy("_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.array([r["_v"] for r in rows], dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = len(Xn)
+    k = min(n_centroids, n)
+    C = Xn[:: max(n // k, 1)][:k].copy()
+    for _ in range(iters):
+        sims = Xn @ C.T  # (n, k) cosine (all rows unit)
+        assign = sims.argmax(axis=1)
+        for j in range(k):
+            members = Xn[assign == j]
+            if len(members) == 0:
+                # re-seed from the point worst-served by current centroids
+                C[j] = Xn[sims.max(axis=1).argmin()]
+            else:
+                m = members.mean(axis=0)
+                C[j] = m / max(np.linalg.norm(m), 1e-12)
+    return [[round(float(x), 6) for x in c] for c in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -161,6 +215,7 @@ def ivf_topk(
     centroid_stride: int = 25,
     nprobe: int = 3,
     max_centroids: int = 4096,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: the scale path for huge corpora.
 
@@ -174,14 +229,25 @@ def ivf_topk(
     each query probes its ``nprobe`` nearest lists, so only
     ~|corpus| * nprobe / n_lists candidates are scored instead of the
     full cross join.
+
+    ``centroids`` (e.g. from :func:`kmeans_centroids`) replaces the stride
+    sample with a trained quantizer — same operator shape, better lists on
+    clustered data.
     """
-    cents = corpus.where(
-        ((F.col(id_col) % centroid_stride) == 0)
-        & (F.col(id_col) < centroid_stride * max_centroids)
-    ).select(
-        F.col(id_col).alias("cid"),
-        _as_double(F.col(vec_col)).alias("centv"),
-    )
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(centroids)],
+            "cid long, centv array<double>",
+        )
+    else:
+        cents = corpus.where(
+            ((F.col(id_col) % centroid_stride) == 0)
+            & (F.col(id_col) < centroid_stride * max_centroids)
+        ).select(
+            F.col(id_col).alias("cid"),
+            _as_double(F.col(vec_col)).alias("centv"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),

@@ -3,9 +3,23 @@
 The per-row invariant (BASELINE.json input_hint) is *byte-identical
 extracted text per url* versus the reference extractor. The corpus's html is
 `<html><body><p>{text}</p></body></html>`-shaped (FIXTURES.md §1), so the
-deterministic extractor is: decode UTF-8, strip tags, unescape the five
-standard XML entities. All JVM-side built-ins (regexp_replace chain) — stays
-inside whole-stage codegen; no Python in this stage.
+deterministic fast path is: decode UTF-8, strip tags, unescape the five
+standard XML entities — all JVM-side built-ins (regexp_replace chain),
+inside whole-stage codegen, no Python.
+
+Real Common-Crawl HTML needs more, so the extractor is tiered:
+
+- tag stripping understands quoted attribute values (a literal ``>`` inside
+  ``title="a>b"`` must not terminate the tag) and drops script/style/
+  comment subtrees — still pure codegen;
+- ``entities="full"`` additionally resolves numeric character references
+  (``&#233;`` / ``&#xE9;``) and the full HTML5 named set via an
+  Arrow-batched pandas UDF over ``html.unescape`` — applied ONLY to rows
+  that still contain an ``&...;`` pattern after the named fast path, so the
+  Python crossing is pay-per-rare-row, not per-corpus;
+- ``normalize_ws=True`` collapses whitespace runs to single spaces and
+  trims (off by default: the byte-identity invariant forbids it for the
+  fixture corpus).
 """
 
 from __future__ import annotations
@@ -13,17 +27,72 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Tag pattern: quoted attribute sections may contain '>', so the tag body
+# is (not > or quote) | "..." | '...'. Unterminated constructs fall through
+# unstripped rather than swallowing the rest of the document.
+_TAG = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
 
-def extract_text(html: Column) -> Column:
-    """binary html -> extracted text (deterministic, order of rules fixed)."""
-    s = F.decode(html, "UTF-8")
-    # Drop script/style subtrees first, then comments, then all tags.
+_NAMED = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+          ("&#39;", "'"), ("&amp;", "&")]
+
+
+def strip_tags(s: Column) -> Column:
+    """Drop script/style subtrees, comments, then all tags (codegen)."""
     s = F.regexp_replace(s, r"(?is)<(script|style)\b[^>]*>.*?</\1>", "")
     s = F.regexp_replace(s, r"(?s)<!--.*?-->", "")
-    s = F.regexp_replace(s, r"<[^>]*>", "")
-    for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                    ("&#39;", "'"), ("&amp;", "&")]:
+    return F.regexp_replace(s, _TAG, "")
+
+
+def _unescape_full(col: Column) -> Column:
+    """Full HTML5 entity resolution (named + decimal/hex numeric refs) via
+    an Arrow-batched pandas UDF; only invoked on rows the caller has
+    already screened as containing residual entities."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: `from __future__ import annotations` stringifies hints, and
+    # pyspark resolves them via the function's globals — so the signature
+    # is declared with explicit non-deferred types here.
+    def _unescape(s):
+        import html as _html
+
+        return s.map(lambda t: _html.unescape(t) if t is not None else None)
+
+    _unescape.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    unescape = pandas_udf(_unescape, "string")
+    return unescape(col)
+
+
+def extract_text(
+    html: Column,
+    entities: str = "named",
+    normalize_ws: bool = False,
+) -> Column:
+    """binary html -> extracted text (deterministic, order of rules fixed).
+
+    ``entities``: "named" = the five standard XML entities, pure codegen
+    (the fixture-parity mode); "full" = HTML5 named + numeric refs, with a
+    pandas-UDF fallback on the (rare) rows still carrying ``&...;`` after
+    the named pass. Named entities resolve identically in both modes
+    (``&amp;`` last, so ``&amp;lt;`` yields the literal ``&lt;`` — no
+    double-unescape).
+    """
+    s = F.decode(html, "UTF-8")
+    s = strip_tags(s)
+    for ent, ch in _NAMED:
         s = F.replace(s, F.lit(ent), F.lit(ch))
+    if entities == "full":
+        # Residual &name;/&#N;/&#xN; after the named pass -> full resolver.
+        # NOTE the screen runs on the PRE-named-pass text? No: html.unescape
+        # on the post-named text would re-unescape what &amp; produced. The
+        # full path therefore re-derives from the stripped original.
+        raw = strip_tags(F.decode(html, "UTF-8"))
+        s = F.when(
+            raw.rlike("&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);"),
+            _unescape_full(raw),
+        ).otherwise(s)
+    if normalize_ws:
+        s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return s
 
 

@@ -6,8 +6,15 @@ count, input fingerprints, per-partition lineage). A re-run skips every
 stage whose manifest is present and consistent — a killed run resumes at the
 last completed stage (north_rule). The table abstraction is format-agnostic:
 with an Iceberg catalog configured these become ``writeTo(...)`` appends with
-snapshot ids in the manifest; the sandbox has no Iceberg jars, so the
-parquet + manifest degradation documented in SURVEY.md §7.3 is active.
+snapshot ids in the manifest; the parquet + manifest degradation documented
+in SURVEY.md §7.3 is active here. Jar-availability record (round 2,
+2026-08-17): no ``iceberg-spark-runtime`` jar exists anywhere on this image
+(``find / -name '*iceberg*'`` -> none; pyspark jars dir has 0 matches) and
+the sandbox has no network (repo1.maven.org unreachable), so
+``spark.jars.packages`` cannot fetch it — the Iceberg path stays unexercised
+by environment, not by design. Manifests now also carry the PipelineConfig
+fingerprint, refusing cross-config reuse (the Iceberg analogue would be
+snapshot properties).
 
 Pipeline (SURVEY.md §3.4):
   0 normalize -> 1 blocking/candidates -> 3 scoring -> 4 edges ->
@@ -52,18 +59,59 @@ class PipelineConfig:
     exact_dedup_first: bool = True
     params: AlignParams = field(default_factory=unit_cost_params)
 
+    def fingerprint(self) -> str:
+        """Stable hash of every field that changes stage OUTPUTS. A
+        checkpoint written under one config must not be silently reused by
+        a run with different stage semantics (e.g. sn_window or threshold
+        changed): downstream stages would mix configs with no error."""
+        import hashlib
+
+        payload = {
+            "shingle_k": self.shingle_k,
+            "num_perm": self.num_perm,
+            "num_bands": self.num_bands,
+            "bucket_cap": self.bucket_cap,
+            "sn_window": self.sn_window,
+            "similarity_threshold": self.similarity_threshold,
+            "text_from_html": self.text_from_html,
+            "exact_dedup_first": self.exact_dedup_first,
+            "params": repr(self.params),
+        }
+        return hashlib.sha256(
+            json.dumps(payload, sort_keys=True).encode()
+        ).hexdigest()[:16]
+
 
 class Checkpointer:
-    def __init__(self, spark: SparkSession, warehouse: str):
+    def __init__(
+        self, spark: SparkSession, warehouse: str, cfg_fingerprint: str = ""
+    ):
         self.spark = spark
         self.root = Path(warehouse)
         self.root.mkdir(parents=True, exist_ok=True)
+        self.cfg_fingerprint = cfg_fingerprint
 
     def _manifest_path(self, name: str) -> Path:
         return self.root / name / "_MANIFEST.json"
 
     def has(self, name: str) -> bool:
-        return self._manifest_path(name).is_file()
+        """A stage checkpoint counts as present only if it was written under
+        the SAME config fingerprint; a mismatch is a hard error, not a
+        silent reuse (a warehouse from an older config would otherwise feed
+        stale candidates into a pipeline with different stage semantics)."""
+        if not self._manifest_path(name).is_file():
+            return False
+        if self.cfg_fingerprint:
+            found = self.manifest(name).get("cfg_fingerprint")
+            if found != self.cfg_fingerprint:
+                raise RuntimeError(
+                    f"checkpoint {name!r} in {self.root} was written under "
+                    f"config fingerprint {found!r}, current config is "
+                    f"{self.cfg_fingerprint!r}: refusing to mix stage "
+                    "semantics. Point --warehouse at a fresh directory or "
+                    "delete the stale stages."
+                )
+        return True
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(str(self.root / name / "data"))
@@ -82,6 +130,7 @@ class Checkpointer:
         ]
         manifest = {
             "stage": name,
+            "cfg_fingerprint": self.cfg_fingerprint,
             "rows": sum(r["n_rows"] for r in lineage),
             "partitions": len(lineage),
             "wall_sec": round(time.time() - t0, 3),
@@ -102,7 +151,7 @@ def run_pipeline(
     labeled_pairs: DataFrame | None = None,
 ) -> dict:
     """Full ER pipeline; returns summary dict incl. per-stage manifests."""
-    ck = Checkpointer(spark, cfg.warehouse)
+    ck = Checkpointer(spark, cfg.warehouse, cfg_fingerprint=cfg.fingerprint())
 
     norm = ck.write(
         "s0_normalized",
@@ -193,10 +242,14 @@ def run_pipeline(
                 "rep_url",
                 "left",
             )
-            # mirror the no-prepass output: every url in a cluster of
-            # size >= 2 — fuzzy (rep has a component) or exact (group of
-            # byte-identical texts with >= 2 members, whose pairs the
-            # no-prepass pipeline would have scored at similarity 1).
+            # Equal-or-better recall vs the no-prepass output: every url in
+            # a cluster of size >= 2 — fuzzy (rep has a component) or exact
+            # (group of byte-identical texts with >= 2 members, whose pairs
+            # the no-prepass pipeline would have scored at similarity 1).
+            # Identical when no LSH bucket-cap drops occur; under cap
+            # pressure the prepass output is a strict SUPERSET (large
+            # exact-dup families shrink to one rep and no longer overflow
+            # buckets, so the no-prepass run may drop pairs this one keeps).
             .where(F.col("component").isNotNull() | (F.col("_gsz") >= 2))
             .select(
                 F.col("url").alias("id"),

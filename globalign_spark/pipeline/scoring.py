@@ -86,24 +86,38 @@ def _score_chunk(
 
     idx = np.nonzero(ok)[0]
     if idx.size:
-        # Lexicographic (m, n) sort so greedy chunks are shape-homogeneous
-        # (sorting by the cell product mixes 100x500 with 500x100 shapes and
-        # pays ~3x padding waste). The big win comes from the caller sorting
-        # each partition by length first — then batches arrive pre-clustered
-        # and this is a near-no-op safety net.
-        order = idx[np.lexsort((lens2[idx], lens1[idx]))]
+        # Shape-homogeneous chunking. Sort key is (m-tile, n): tiling m into
+        # 64-wide bands then ordering by n keeps BOTH padded dimensions
+        # tight inside a chunk — a plain (m, n) lexsort lets n ratchet to
+        # its global max whenever a chunk crosses an m boundary, which at
+        # Spark-partition granularity (~10k pairs) costs 1.9x padded cells
+        # on the real corpus (measured; tile+cap = 1.2x). The pad-cap guard
+        # additionally closes a chunk early when padded/true cells would
+        # exceed 1.25 (only once the chunk has >= 32 pairs, so pathological
+        # shape mixes still amortize numpy dispatch overhead).
+        order = idx[np.lexsort((lens2[idx], lens1[idx] // 64))]
+        pad_cap = 1.25
+        min_b = 32
         start = 0
         while start < order.size:
             m_max = 0
             n_max = 0
             end = start
+            true_cells = 0
             while end < order.size:
                 p = order[end]
                 mm = max(m_max, lens1[p])
                 nn = max(n_max, lens2[p])
-                if end > start and (end - start + 1) * mm * nn > BATCH_CELL_BUDGET:
+                bsz = end - start + 1
+                if end > start and bsz * mm * nn > BATCH_CELL_BUDGET:
+                    break
+                if (
+                    bsz >= min_b
+                    and bsz * mm * nn > pad_cap * (true_cells + cells[p])
+                ):
                     break
                 m_max, n_max = mm, nn
+                true_cells += cells[p]
                 end += 1
             sel = order[start:end]
             band = int(band_req[sel].max()) if banded else None
@@ -126,7 +140,7 @@ def score_pairs(
     text_1: str = "text_1",
     text_2: str = "text_2",
     cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
-    sort_by_length: bool = True,
+    sort_by_length: bool = False,
     keep_texts: bool = False,
     sim_threshold: float | None = None,
 ) -> DataFrame:
@@ -138,10 +152,15 @@ def score_pairs(
     ``oversize`` (bool). Dropping the texts halves Arrow traffic: the wide
     strings cross into Python once and never come back.
 
-    ``sort_by_length`` clusters each partition by (len_1, len_2) before the
-    UDF so every Arrow batch holds similar-shaped pairs — the batched DP
-    pads to the batch max shape, and length-mixed batches waste 2-3x the
-    cells. A partition-local sort (no shuffle) removes that waste JVM-side.
+    ``sort_by_length`` clusters each partition by (len-tile, len_2) before
+    the UDF. Default OFF: the Python-side chunker already sorts within each
+    Arrow batch (16k rows — same padding quality as a sorted partition),
+    and a partition-wide JVM sort is a PIPELINE BREAKER — no Arrow batch is
+    emitted until the whole partition is sorted, so upstream production
+    (join + expansion + encode) serializes with the kernel instead of
+    overlapping it (measured: ~2.6 s/task of pre-first-batch idle at
+    local[8], ~20% of wall). Turn on only when Arrow batches are small
+    (< ~4k rows) relative to partitions.
 
     Parity: cost/score match the reference's find_global_alignment exactly
     (tests/test_scoring_spark.py fuzzes this against the kernel, which is
@@ -154,8 +173,10 @@ def score_pairs(
     silent drop) at a fraction of the lattice cells.
     """
     if sort_by_length:
+        # Same (m-tile, n) key as the Python-side chunker, so consecutive
+        # Arrow batches hold shape-homogeneous runs.
         pairs = pairs.sortWithinPartitions(
-            F.length(F.col(text_1)), F.length(F.col(text_2))
+            F.floor(F.length(F.col(text_1)) / 64), F.length(F.col(text_2))
         )
     keep_cols = [
         f.name
@@ -201,6 +222,89 @@ def score_pairs(
             yield out
 
     return pairs.mapInPandas(run, schema=schema)
+
+
+def score_pairs_with_fallback(
+    pairs: DataFrame,
+    params: AlignParams,
+    id_1: str = "id_1",
+    id_2: str = "id_2",
+    text_1: str = "text_1",
+    text_2: str = "text_2",
+    cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
+    sim_threshold: float | None = None,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Similarity for EVERY candidate pair — no silent drops, no NULL rows.
+
+    Routes each pair by DP size, JVM-side, before any Python crossing:
+      - ``m*n <= cell_cap``: exact Gotoh alignment similarity
+        (1 - cost/max(len), the ER edge measure), ``method = 'gotoh'``.
+      - ``m*n > cell_cap``: k-char shingle Jaccard (linear in text length,
+        reusing ops.dedup.pair_gram_overlap), ``method = 'shingle'``.
+
+    Output: (id_1, id_2, method, similarity) for all input pairs. The two
+    methods are different measures on different scales — ``method`` is the
+    lineage column that keeps that honest; callers thresholding the result
+    should threshold per method. This wires the fallback route promised by
+    ``score_pairs``'s oversize lineage: a 10^12-row pipeline can't abort
+    on huge pages (reference hard-errors at m*n >= 20M,
+    start.py:361-376), and dropping them silently would lose exactly the
+    template-heavy pages most likely to be duplicates.
+
+    ``sim_threshold`` additionally lets the Gotoh branch run Ukkonen-banded
+    (over-band pairs certified below the threshold come back with
+    similarity = the banded bound's certificate as NULL is not allowed
+    here — they are emitted with similarity 0.0 and method 'gotoh', which
+    is correct for any caller thresholding at >= sim_threshold since their
+    true similarity is certifiably < sim_threshold).
+    """
+    cells = (
+        F.length(F.col(text_1)).cast("long") * F.length(F.col(text_2)).cast("long")
+    )
+    small = pairs.where(cells <= cell_cap)
+    big = pairs.where(cells > cell_cap)
+
+    scored = score_pairs(
+        small,
+        params,
+        text_1=text_1,
+        text_2=text_2,
+        cell_cap=cell_cap,
+        sim_threshold=sim_threshold,
+    )
+    sim = 1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
+    gotoh = scored.select(
+        F.col(id_1),
+        F.col(id_2),
+        F.lit("gotoh").alias("method"),
+        F.round(
+            F.when(F.col("cost").isNull(), F.lit(0.0)).otherwise(sim), 6
+        ).alias("similarity"),
+    )
+
+    from ..ops.dedup import pair_gram_overlap
+
+    counted = pair_gram_overlap(
+        big.select(
+            F.col(id_1),
+            F.col(id_2),
+            F.col(text_1).alias("t1"),
+            F.col(text_2).alias("t2"),
+        ),
+        k=shingle_k,
+        id_1=id_1,
+        id_2=id_2,
+    )
+    shingle = counted.select(
+        F.col(id_1),
+        F.col(id_2),
+        F.lit("shingle").alias("method"),
+        F.round(F.col("_i") / (F.col("_s") - F.col("_i")), 6).alias(
+            "similarity"
+        ),
+    )
+    return gotoh.unionByName(shingle)
 
 
 def with_similarity(scored: DataFrame) -> DataFrame:

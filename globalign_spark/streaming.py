@@ -87,7 +87,11 @@ _FIRST_SEEN_STATE = StructType(
 )
 
 
-def stream_first_seen(norm: DataFrame) -> DataFrame:
+def stream_first_seen(
+    norm: DataFrame,
+    max_entries_per_host: int = 1_000_000,
+    ttl_minutes: int | None = None,
+) -> DataFrame:
     """Custom stateful operator: first-seen exact dedup per host.
 
     ``applyInPandasWithState`` keeps a per-host set of content hashes in
@@ -95,24 +99,49 @@ def stream_first_seen(norm: DataFrame) -> DataFrame:
     emitted, across micro-batches and across restarts (state lives in the
     checkpoint). This is the pattern for stateful ops the built-ins can't
     express; for plain streaming dedup prefer ``dropDuplicates`` +
-    watermark (RocksDB-backed, bounded state). State here is a flat
-    hash-set serialized per host — at 10^12 scale the per-host sets are
-    bounded by per-host page counts because blocking keys partition the
-    state, same discipline as the batch blocking layer.
+    watermark (RocksDB-backed, bounded state).
+
+    State discipline (what actually bounds it — per-host page counts alone
+    do NOT, a large host streams forever):
+      - per-batch work is O(new hashes): the stored string is append-only,
+        never re-sorted or rebuilt;
+      - ``max_entries_per_host`` hard-caps the set. A saturated host keeps
+        emitting (a dup may then re-emit rather than rows silently
+        vanishing — the recall-safe failure mode) and stops growing;
+      - ``ttl_minutes`` expires idle hosts' state entirely
+        (ProcessingTimeTimeout), so the store tracks active hosts, not
+        all hosts ever seen.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    use_ttl = ttl_minutes is not None
+
     def fn(key, pdfs, state: GroupState):
-        seen = set(state.get[0].split(",")) if state.exists else set()
+        if use_ttl and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                {"host": [], "url": [], "text_md5": []}
+            ).astype({"host": str, "url": str, "text_md5": str})
+            return
+        stored = state.get[0] if state.exists else ""
+        seen = set(stored.split(",")) if stored else set()
+        fresh: list[str] = []
         out_urls, out_md5s = [], []
         for pdf in pdfs:
             for url, md5 in zip(pdf["url"], pdf["text_md5"]):
                 if md5 not in seen:
-                    seen.add(md5)
+                    if len(seen) < max_entries_per_host:
+                        seen.add(md5)
+                        fresh.append(md5)
                     out_urls.append(url)
                     out_md5s.append(md5)
-        state.update((",".join(sorted(seen)),))
+        if fresh:
+            # append-only: O(|fresh|) string build, no re-sort of |seen|
+            stored = (stored + "," if stored else "") + ",".join(fresh)
+            state.update((stored,))
+        if use_ttl:
+            state.setTimeoutDuration(ttl_minutes * 60 * 1000)
         yield pd.DataFrame(
             {
                 "host": [key[0]] * len(out_urls),
@@ -129,7 +158,11 @@ def stream_first_seen(norm: DataFrame) -> DataFrame:
         outputStructType=FIRST_SEEN_SCHEMA,
         stateStructType=_FIRST_SEEN_STATE,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_ttl
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -209,3 +209,67 @@ def test_skew_cap_defaults_stay_finite():
         inspect.signature(_dedup.simhash_near_pairs)
         .parameters["bucket_cap"].default < 1_000_000
     )
+
+
+def test_ivf_trained_beats_stride_on_clustered_data(spark):
+    """On clustered embeddings a trained coarse quantizer must recover
+    (near-)full recall@k vs exact brute force, and beat the stride
+    quantizer (which has no reason to place centroids at cluster modes).
+    Synthetic isotropic noise can't show this (recall ~ fraction probed for
+    any index), so the fixture is 6 well-separated Gaussian clusters."""
+    rng = np.random.default_rng(42)
+    dim, n_clusters, per = 16, 6, 50
+    modes = rng.standard_normal((n_clusters, dim)) * 5.0
+    vecs = []
+    for i in range(n_clusters * per):
+        c = i % n_clusters
+        vecs.append((i, [float(x) for x in modes[c] + rng.standard_normal(dim) * 0.3]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") < 12)
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r.query_id, r.neighbor_id) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    cents = similarity.kmeans_centroids(emb, n_centroids=n_clusters, iters=5)
+    r_trained = recall(
+        similarity.ivf_topk(emb, q, k=5, nprobe=1, centroids=cents)
+    )
+    r_stride = recall(
+        similarity.ivf_topk(emb, q, k=5, nprobe=1, centroid_stride=50)
+    )
+    assert r_trained >= 0.95
+    assert r_trained > r_stride
+
+
+@pytest.mark.skipif(
+    not multimodal.PIL_AVAILABLE, reason="Pillow not installed (optional)"
+)
+def test_multimodal_pillow_real_decode(spark):
+    """Real image decode through the identical mapInPandas plumbing."""
+    import io
+
+    import PIL.Image as Image
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [(0, "image", buf.getvalue())], "media_id long, kind string, blob binary"
+    )
+    out = multimodal.extract_media_features(
+        df, backend=multimodal.PillowDecodeBackend()
+    ).collect()[0]
+    assert len(out.features) == 64
+    assert abs(sum(out.features) - 1.0) < 1e-9
+
+
+def test_multimodal_pillow_unavailable_is_clean():
+    if multimodal.PIL_AVAILABLE:
+        pytest.skip("Pillow installed; unavailability path not reachable")
+    with pytest.raises(NotImplementedError):
+        multimodal.PillowDecodeBackend()

@@ -162,3 +162,61 @@ def test_exact_dedup_prepass_preserves_clusters(spark, tmp_path):
     assert outs[True] == outs[False]
     # the clones really did cluster with their originals
     assert any("?utm=copy" in a or "?utm=copy" in b for a, b in outs[True])
+
+
+def test_extractor_adversarial_html(spark):
+    """Quoted '>' in attributes, numeric char refs (dec + hex), full named
+    entities, comment/script subtrees, whitespace toggle."""
+    cases = [
+        # (html, entities_mode, normalize_ws, expected)
+        (b'<a title="a>b">x</a>', "named", False, "x"),
+        (b"<a title='a>b'>x</a>", "named", False, "x"),
+        (b"<p>a &amp;lt; b</p>", "named", False, "a &lt; b"),  # no double-unescape
+        (b"<p>caf&#233; &#x41;</p>", "full", False, "café A"),
+        (b"<p>&eacute;&nbsp;x</p>", "full", False, "é x"),
+        (b"<p>a &amp;#65; b</p>", "full", False, "a &#65; b"),  # html5 single pass
+        (b"<script>x = '<p>not text</p>';</script>ok", "named", False, "ok"),
+        (b"<!-- <p>gone</p> -->kept", "named", False, "kept"),
+        (b"<div>  a\n\n b\t</div>", "named", True, "a b"),
+        (b"<p>plain &lt;tag&gt;</p>", "full", False, "plain <tag>"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h, m, w, e) for i, (h, m, w, e) in enumerate(cases)],
+        "i long, html binary, mode string, ws boolean, want string",
+    )
+    for mode in ("named", "full"):
+        for ws in (False, True):
+            sub = df.where((F.col("mode") == mode) & (F.col("ws") == ws))
+            if sub.count() == 0:
+                continue
+            bad = sub.withColumn(
+                "got", extract_text(F.col("html"), entities=mode, normalize_ws=ws)
+            ).where(F.col("got") != F.col("want"))
+            rows = bad.collect()
+            assert not rows, [(r.i, r.got, r.want) for r in rows]
+
+
+def test_extractor_full_mode_keeps_byte_identity(spark):
+    """The fixture-grammar invariant must hold in BOTH entity modes."""
+    pages = pages_df(spark, n_entities=20, seed=13)
+    for mode in ("named", "full"):
+        mismatch = (
+            pages.withColumn("ex", extract_text(F.col("html"), entities=mode))
+            .where(F.col("ex") != F.col("text"))
+            .count()
+        )
+        assert mismatch == 0, mode
+
+
+def test_checkpoint_refuses_config_mismatch(spark, tmp_path):
+    """A warehouse written under one config must not be silently reused by
+    a run whose config changes stage semantics (ADVICE r1)."""
+    wh = str(tmp_path / "wh")
+    pages = pages_df(spark, n_entities=25, seed=7)
+    cfg = PipelineConfig(warehouse=wh, sn_window=3)
+    run_pipeline(spark, pages, cfg)
+    cfg2 = PipelineConfig(warehouse=wh, sn_window=6)
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        run_pipeline(spark, pages, cfg2)
+    # same config resumes fine
+    run_pipeline(spark, pages, PipelineConfig(warehouse=wh, sn_window=3))
