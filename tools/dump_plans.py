@@ -19,10 +19,11 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 QUERIES = [
-    "align_pairs", "er_end_to_end", "er_lsh_pipeline", "dedup_exact",
-    "dedup_minhash_lsh", "simhash_near_pairs", "ngram_jaccard",
-    "fingerprint_overlap", "ann_topk", "ann_lsh", "sorted_neighborhood",
-    "events_window", "agg_lineitem", "join_topk",
+    "align_pairs", "align_pairs_oversize", "er_end_to_end",
+    "er_lsh_pipeline", "dedup_exact", "dedup_minhash_lsh",
+    "simhash_near_pairs", "ngram_jaccard", "fingerprint_overlap",
+    "ann_topk", "ann_lsh", "sorted_neighborhood", "events_window",
+    "agg_lineitem", "join_topk",
 ]
 
 
