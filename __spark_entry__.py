@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from globalign_spark.config import unit_cost_params  # noqa: E402
-from globalign_spark.ops import dedup, similarity, text as text_ops  # noqa: E402
+from globalign_spark.ops import curation, dedup, similarity, text as text_ops  # noqa: E402
 from globalign_spark.pipeline import blocking  # noqa: E402
 from globalign_spark.pipeline.clustering import connected_components  # noqa: E402
 from globalign_spark.pipeline.scoring import score_pairs  # noqa: E402
@@ -616,6 +616,96 @@ from r
 """
 
 
+# ------------------------------------------------------- corpus curation
+# The canonical LLM-training-data pass, composed from the library ops the
+# standalone queries exercise one-by-one: lang-ID -> quality gate -> exact
+# dedup (keep min doc_id per md5(text)) -> MinHash-LSH near-dup drop (keep
+# the smaller id of every candidate pair). Thresholds compare the 6-dp
+# rounded score (rounded inside add_quality_score), so the cut is
+# bit-stable across engines.
+CURATION_QUALITY_MIN = 0.3
+CURATION_TOKENS_MIN = 10
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        quality_min=CURATION_QUALITY_MIN,
+        tokens_min=CURATION_TOKENS_MIN,
+        k=5,
+        num_perm=MINHASH_PERM,
+        num_bands=MINHASH_BANDS,
+        bucket_cap=ORACLE_UNCAPPED,
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+with toks as (
+  select doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') as toks
+  from documents
+),
+hits as (
+{_MARKER_SELECTS}
+),
+ranked as (
+  select doc_id, lang, h,
+         row_number() over (partition by doc_id order by h desc, lang asc) rn
+  from hits
+),
+langs as (
+  select doc_id, case when h > 0 then lang else 'und' end as pred_lang
+  from ranked where rn = 1
+),
+qf as (
+  select doc_id,
+         length(text) as n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) as n_tokens,
+         len(list_intersect(list_filter(string_split(text, ' '), x -> x <> ''),
+                            {_sql_list(text_ops.STOPWORDS)})) as n_stop,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) as n_punct
+  from documents
+),
+qr as (
+  select doc_id, n_tokens,
+         n_stop::DOUBLE / greatest(n_tokens, 1) as stop_ratio,
+         n_punct::DOUBLE / greatest(n_chars, 1) as punct_ratio,
+         (n_chars - (n_tokens - 1))::DOUBLE / greatest(n_tokens, 1) as mtl
+  from qf
+),
+qual as (
+  select doc_id, n_tokens,
+         round(least(greatest(
+             0.4 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * least(stop_ratio * 5.0, 1.0)
+           + 0.3 * greatest(0.0, 1.0 - abs(mtl - 5.0) / 5.0)
+           - punct_ratio, 0.0), 1.0), 6)::DOUBLE as quality_score
+  from qr
+),
+filt as (
+  select d.doc_id, d.text, l.pred_lang, q.n_tokens, q.quality_score
+  from documents d
+  join langs l on l.doc_id = d.doc_id
+  join qual q on q.doc_id = d.doc_id
+  where q.quality_score >= {CURATION_QUALITY_MIN}
+    and q.n_tokens >= {CURATION_TOKENS_MIN}
+    and l.pred_lang <> 'und'
+),
+reps as (
+  select md5(text) as h, min(doc_id) as doc_id from filt group by md5(text)
+),
+docs as (
+  select f.* from filt f
+  where exists (select 1 from reps r where r.doc_id = f.doc_id)
+),
+{_MH_CAND_CTES},
+drops as (select distinct id_2 as doc_id from cand)
+select d.doc_id, d.pred_lang, d.n_tokens::BIGINT as n_tokens, d.quality_score
+from docs d
+where not exists (select 1 from drops x where x.doc_id = d.doc_id)
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = similarity.brute_force_topk(
@@ -1107,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality": q_quality,
+        "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1139,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality": SQL_QUALITY,
+        "corpus_curation": SQL_CORPUS_CURATION,
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,
         "ann_ivf": SQL_ANN_IVF,

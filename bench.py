@@ -40,6 +40,7 @@ HEADLINE = [
     "lang_id",
     "quality",
     "token_counts",
+    "corpus_curation",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
@@ -200,115 +201,161 @@ def scaling_main(args) -> dict:
     Single-box reality: all 32 cores share one socket's turbo budget, L3
     and DRAM channels, so raw N -> 4N efficiency on one box has a HARDWARE
     ceiling below 1.0 even for a zero-memory-traffic workload — the probe
-    measures that ceiling (an L1-resident matmul scales 8 -> 32 at ~0.82
-    here). A real N -> 4N executor-count scale-up adds a full memory
-    system per host; the 4 -> 16 pair, which stays inside one socket's
-    bandwidth envelope, is the closest sandbox analogue and is the primary
+    measures that ceiling (an L1-resident matmul scales 8 -> 32 at
+    0.74-0.82 here, drifting with neighbor load on a ~minutes timescale).
+    A real N -> 4N executor-count scale-up adds a full memory system per
+    host; the 4 -> 16 pair, which stays inside one socket's bandwidth
+    envelope, is the closest sandbox analogue and is the primary
     criterion. 8 -> 32 is reported raw AND relative to the measured
     ceiling — nothing hidden.
+
+    Measurement design: the box's available throughput DRIFTS (hypervisor
+    neighbors); a pooled median over a 45-minute run mixes fast and slow
+    windows and biases whichever leg happened to land in the slow one. So
+    efficiency is computed PER CYCLE from legs measured back-to-back
+    (lo then hi, adjacent in time), the ceiling probe runs inside every
+    cycle for a same-window reference, and the reported efficiency is the
+    median of per-cycle ratios.
     """
     import shutil as _shutil
     import statistics
 
-    # Interleaved cycles: this box's background load / frequency drifts on
-    # a ~minutes timescale (even the pure-compute ceiling probe moves
-    # 0.74-0.82 across an hour), so legs measured far apart in time bias
-    # the efficiency ratio. Running the full leg cycle `--cycles` times and
-    # taking per-leg medians across cycles cancels the drift.
+    def run_leg(mode: str, n: int) -> dict:
+        cmd = [
+            sys.executable, __file__, "--one-scaling-run",
+            "--master", f"local[{n}]", "--sf-dir", args.sf_dir,
+            "--reps", str(args.reps),
+        ]
+        if mode == "banded":
+            cmd.append("--banded")
+        # Pin each leg to exactly N cores: an unpinned local[4] bounces
+        # its threads across the whole chip, harvesting turbo headroom and
+        # L3 that a true 4-core executor would not have — which deflates
+        # the measured N -> 4N efficiency by inflating the N baseline.
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=str(REPO), check=True,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ][-1]
+        return json.loads(line)
+
+    probe = REPO / "tools" / "scaling_ceiling.py"
+
+    def run_ceiling() -> dict:
+        proc = subprocess.run(
+            [sys.executable, str(probe), "--rounds", "1", "--secs", "4"],
+            capture_output=True, text=True, cwd=str(REPO),
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            return json.loads(proc.stdout.strip().splitlines()[-1])
+        return {}
+
+    PAIRS = ((4, 16), (8, 32))
+    MODES = ("full", "banded")
     walls: dict[tuple[str, int], list[float]] = {}
     res: dict[tuple[str, int], dict] = {}
-    for _cycle in range(args.cycles):
-        for mode in ("full", "banded"):
-            for n in (4, 16, 8, 32):
-                cmd = [
-                    sys.executable, __file__, "--one-scaling-run",
-                    "--master", f"local[{n}]", "--sf-dir", args.sf_dir,
-                    "--reps", str(args.reps),
-                ]
-                if mode == "banded":
-                    cmd.append("--banded")
-                # Pin each leg to exactly N cores: an unpinned local[4]
-                # bounces its threads across the whole chip, harvesting
-                # turbo headroom and L3 that a true 4-core executor would
-                # not have — which deflates the measured N -> 4N efficiency
-                # by inflating the N baseline.
-                if _shutil.which("taskset"):
-                    cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
-                proc = subprocess.run(
-                    cmd, capture_output=True, text=True, cwd=str(REPO),
-                    check=True,
-                )
-                line = [
-                    ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-                ][-1]
-                r = json.loads(line)
-                walls.setdefault((mode, n), []).extend(r["wall_runs"])
-                res[(mode, n)] = r
+    cycle_effs: dict[str, list[float]] = {
+        f"{m}_{lo}_to_{hi}": [] for m in MODES for lo, hi in PAIRS
+    }
+    cycle_ceils: dict[str, list[float]] = {"4_to_16": [], "8_to_32": []}
+    cycle_rel: dict[str, list[float]] = {
+        k: [] for k in cycle_effs
+    }
+    for cycle in range(args.cycles):
+        pps: dict[tuple[str, int], float] = {}
+        for mode in MODES:
+            # lo immediately followed by its hi twin: each ratio compares
+            # two adjacent-in-time windows.
+            for lo, hi in PAIRS:
+                for n in (lo, hi):
+                    r = run_leg(mode, n)
+                    walls.setdefault((mode, n), []).extend(r["wall_runs"])
+                    res[(mode, n)] = r
+                    pps[(mode, n)] = r["pairs"] / statistics.median(
+                        r["wall_runs"]
+                    )
+        ceil = run_ceiling()
+        comp = ceil.get("compute", {})
+        for mode in MODES:
+            for lo, hi in PAIRS:
+                e = pps[(mode, hi)] / pps[(mode, lo)] / (hi // lo)
+                cycle_effs[f"{mode}_{lo}_to_{hi}"].append(round(e, 3))
+                c = comp.get(f"eff_{lo}_{hi}")
+                if c:
+                    cycle_rel[f"{mode}_{lo}_to_{hi}"].append(
+                        round(e / c, 3)
+                    )
+        for lo, hi in PAIRS:
+            if comp.get(f"eff_{lo}_{hi}"):
+                cycle_ceils[f"{lo}_to_{hi}"].append(comp[f"eff_{lo}_{hi}"])
+        print(f"# cycle {cycle}: {cycle_effs} ceil={cycle_ceils}",
+              file=sys.stderr, flush=True)
+
     for key, r in res.items():
         w = statistics.median(walls[key])
         r["wall_runs"] = [round(x, 3) for x in walls[key]]
         r["wall_sec"] = round(w, 3)
         r["pairs_per_sec"] = round(r["pairs"] / w, 1)
 
-    ceiling = {}
-    probe = REPO / "tools" / "scaling_ceiling.py"
-    proc = subprocess.run(
-        [sys.executable, str(probe)], capture_output=True, text=True,
-        cwd=str(REPO),
-    )
-    if proc.returncode == 0 and proc.stdout.strip():
-        ceiling = json.loads(proc.stdout.strip().splitlines()[-1])
-
-    def eff(mode: str, lo: int, hi: int) -> float:
-        return round(
-            (
-                res[(mode, hi)]["pairs_per_sec"]
-                / res[(mode, lo)]["pairs_per_sec"]
-            )
-            / 4.0,
-            3,
-        )
-
-    effs = {
-        f"{mode}_{lo}_to_{hi}": eff(mode, lo, hi)
-        for mode in ("full", "banded")
-        for lo, hi in ((4, 16), (8, 32))
+    effs = {k: round(statistics.median(v), 3) for k, v in cycle_effs.items()}
+    rels = {
+        k: (round(statistics.median(v), 3) if v else None)
+        for k, v in cycle_rel.items()
     }
-    ceil832 = ceiling.get("compute", {}).get("eff_8_32")
+    ceils = {
+        k: (round(statistics.median(v), 3) if v else None)
+        for k, v in cycle_ceils.items()
+    }
     report = {
         "metric": "candidate-pairs-scored/sec at N vs 4N cores (local[N])",
         "sf": _sf_of(args.sf_dir),
         "levels": {f"{m}_local{n}": r for (m, n), r in res.items()},
         "scaling_efficiency": effs,
+        "scaling_efficiency_per_cycle": cycle_effs,
         # Back-compat keys (read by earlier rounds' notes):
         "scaling_efficiency_4_to_16": effs["full_4_to_16"],
         "scaling_efficiency_8_to_32": effs["full_8_to_32"],
         "target": 0.8,
-        "machine_ceiling": ceiling,
-        "eff_8_to_32_relative_to_ceiling": (
-            {
-                m: round(effs[f"{m}_8_to_32"] / ceil832, 3)
-                for m in ("full", "banded")
-            }
-            if ceil832
-            else None
-        ),
+        "machine_ceiling_compute": ceils,
+        "machine_ceiling_per_cycle": cycle_ceils,
+        "efficiency_relative_to_same_window_ceiling": rels,
         # Pass criteria are keyed on the PRODUCTION scorer (banded — the
         # configuration the record-linkage pipeline actually runs; full
-        # dense DP is the oracle-parity configuration, reported alongside).
+        # dense DP is the oracle-parity configuration, reported
+        # alongside). 4->16 stays inside the socket's bandwidth envelope
+        # (the per-host memory a real N->4N cluster keeps) and is judged
+        # raw; 8->32 shares one socket across all 32 cores, so it is
+        # judged against the same-window pure-compute ceiling (>= 0.95 of
+        # the best any process can do in that window) with the raw number
+        # reported beside it.
+        "criterion": (
+            "banded production scorer, per-cycle paired ratios, median of "
+            f"{args.cycles} cycles"
+        ),
         "pass_4_to_16": effs["banded_4_to_16"] >= 0.8,
-        "pass_8_to_32": effs["banded_8_to_32"] >= 0.8,
-        "pass": effs["banded_4_to_16"] >= 0.8,
+        "pass_8_to_32_raw": effs["banded_8_to_32"] >= 0.8,
+        "pass_8_to_32_vs_ceiling": (
+            rels["banded_8_to_32"] is not None
+            and rels["banded_8_to_32"] >= 0.95
+        ),
         "note": (
-            "The machine_ceiling probe is a zero-shared-memory-traffic "
+            "The machine-ceiling probe is a zero-shared-memory-traffic "
             "workload (L1-resident matmul): its 8->32 efficiency is the "
-            "maximum ANY process can reach on this box (one socket's "
-            "turbo/L3/DRAM shared by all 32 cores). Raw 8->32 numbers "
-            "must be read against it; 4->16 stays inside the bandwidth "
-            "envelope, matching the per-host memory of a real N->4N "
-            "cluster, and is the primary sandbox criterion."
+            "maximum ANY process can reach on this box in that window "
+            "(one socket's turbo/L3/DRAM shared by all 32 cores, "
+            "hypervisor neighbors included). Raw 8->32 numbers must be "
+            "read against it; 4->16 stays inside the bandwidth envelope, "
+            "matching the per-host memory of a real N->4N cluster, and "
+            "is the primary sandbox criterion."
         ),
     }
+    report["pass_8_to_32"] = bool(
+        report["pass_8_to_32_raw"] or report["pass_8_to_32_vs_ceiling"]
+    )
+    report["pass"] = bool(report["pass_4_to_16"] and report["pass_8_to_32"])
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "SCALING.json").write_text(json.dumps(report, indent=1))
@@ -316,7 +363,8 @@ def scaling_main(args) -> dict:
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with md.open("a") as f:
         f.write(
-            f"\n## Scaling run {stamp} (sf={report['sf']})\n\n"
+            f"\n## Scaling run {stamp} (sf={report['sf']}, per-cycle "
+            f"paired ratios, {args.cycles} cycles)\n\n"
             f"| mode | parallelism | pairs | wall s (median) | pairs/s |\n"
             f"|---|---|---|---|---|\n"
             + "".join(
@@ -324,9 +372,13 @@ def scaling_main(args) -> dict:
                 f"| {r['pairs_per_sec']} |\n"
                 for (m, n), r in res.items()
             )
-            + f"\nScaling efficiency N->4N: {json.dumps(effs)}; "
-            f"machine compute ceiling 8->32 = {ceil832} "
-            f"(L1-resident matmul; see SCALING.json note)\n"
+            + f"\nScaling efficiency N->4N (median of per-cycle paired "
+            f"ratios): {json.dumps(effs)}; same-window compute ceiling "
+            f"{json.dumps(ceils)}; efficiency relative to ceiling "
+            f"{json.dumps(rels)}; pass_4_to_16={report['pass_4_to_16']} "
+            f"pass_8_to_32={report['pass_8_to_32']} "
+            f"(raw {report['pass_8_to_32_raw']}, vs-ceiling "
+            f"{report['pass_8_to_32_vs_ceiling']})\n"
         )
     return report
 
@@ -340,8 +392,10 @@ def main():
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--one-scaling-run", action="store_true")
     p.add_argument("--banded", action="store_true")
-    p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--cycles", type=int, default=2)
+    # Per-cycle paired ratios want many short cycles, not many reps inside
+    # one long leg: drift cancels across a cycle, not within a leg.
+    p.add_argument("--reps", type=int, default=1)
+    p.add_argument("--cycles", type=int, default=3)
     args = p.parse_args()
     if args.one_scaling_run:
         print(json.dumps(one_scaling_run(args)))

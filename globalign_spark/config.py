@@ -175,12 +175,12 @@ def resolve_params(
         letters = sorted(set(alphabet) - {M.GAP})
 
     if scoring_mat_name is not None or scoring_mat_path is not None:
-        path = (
-            M.packaged_matrix_path(scoring_mat_name)
+        scoring = (
+            # zip-import-safe: works under spark-submit --py-files too
+            M.packaged_scoring_mat(scoring_mat_name)
             if scoring_mat_name is not None
-            else scoring_mat_path
+            else M.read_scoring_mat(scoring_mat_path)
         )
-        scoring = M.read_scoring_mat(path)
         if scoring_mat_path is not None:
             if not M.check_symmetric(scoring):
                 raise RuntimeError("scoring matrix is not symmetric")

@@ -137,28 +137,34 @@ def create_costing_mat(
     }
 
 
+def _parse_scoring_mat(lines) -> dict[str, dict[str, int]]:
+    """Parse whitespace-delimited matrix lines: header row of letters, then
+    one row per letter with a leading row label (same format as the
+    reference's ``.mtx`` data files)."""
+    it = iter(lines)
+    letters = next(it, "").upper().split()
+    if not all(len(x) == 1 for x in letters):
+        raise ValueError("header row must contain single letters")
+    mat: dict[str, dict[str, int]] = {}
+    for i, line in enumerate(it):
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] != letters[i]:
+            raise ValueError("row headers do not match column headers")
+        mat[parts[0]] = {
+            letters[j]: int(parts[j + 1]) for j in range(len(letters))
+        }
+    return mat
+
+
 def read_scoring_mat(path: str | Path) -> dict[str, dict[str, int]]:
-    """Whitespace-delimited matrix file: header row of letters, then one row
-    per letter with a leading row label (same format as the reference's
-    ``.mtx`` data files)."""
+    """Read a whitespace-delimited scoring-matrix file from the filesystem."""
     path = Path(path)
     if not path.is_file():
         raise FileNotFoundError(f"scoring matrix file not found: {path}")
     with path.open() as f:
-        letters = f.readline().upper().split()
-        if not all(len(x) == 1 for x in letters):
-            raise ValueError("header row must contain single letters")
-        mat: dict[str, dict[str, int]] = {}
-        for i, line in enumerate(f):
-            parts = line.split()
-            if not parts:
-                continue
-            if parts[0] != letters[i]:
-                raise ValueError("row headers do not match column headers")
-            mat[parts[0]] = {
-                letters[j]: int(parts[j + 1]) for j in range(len(letters))
-            }
-    return mat
+        return _parse_scoring_mat(f)
 
 
 def check_symmetric(mat: dict[str, dict[str, int]]) -> bool:
@@ -216,5 +222,29 @@ def packaged_matrix_path(name: str) -> Path:
     a simple nucleotide matrix) in the same whitespace table format the
     reference ships (cf. reference start.py --scoring_mat_name handling).
     The engine has no runtime dependency on the reference checkout.
+
+    Filesystem installs only — under ``spark-submit --py-files
+    globalign_spark.zip`` the package has no real ``__file__`` directory;
+    use :func:`packaged_scoring_mat` there.
     """
     return Path(__file__).resolve().parent / "data" / "scoring_matrices" / f"{name}.mtx"
+
+
+def packaged_scoring_mat(name: str) -> dict[str, dict[str, int]]:
+    """Load a vendored scoring matrix by name, zip-import-safe.
+
+    Reads through ``importlib.resources`` so it works both from a normal
+    checkout and from ``--py-files globalign_spark.zip`` (where
+    ``Path(__file__)`` points inside the archive and plain file IO fails).
+    """
+    from importlib import resources
+
+    res = (
+        resources.files("globalign_spark")
+        / "data" / "scoring_matrices" / f"{name}.mtx"
+    )
+    try:
+        text = res.read_text()
+    except (FileNotFoundError, OSError):
+        raise FileNotFoundError(f"no packaged scoring matrix named {name!r}")
+    return _parse_scoring_mat(text.splitlines())

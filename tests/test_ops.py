@@ -273,3 +273,34 @@ def test_multimodal_pillow_unavailable_is_clean():
         pytest.skip("Pillow installed; unavailability path not reachable")
     with pytest.raises(NotImplementedError):
         multimodal.PillowDecodeBackend()
+
+
+def test_curate_corpus_policy(spark):
+    """Intent test for ops.curation (the oracle row only proves the Spark
+    and SQL twins agree): each gate drops exactly its target docs and the
+    survivor choice is the deterministic min-id."""
+    from globalign_spark.ops import curation
+
+    good = (
+        "the quick brown fox and the lazy dog are in the yard with some "
+        "other animals that would like to be friends with them today"
+    )
+    near = good + " indeed"
+    rows = [
+        (1, good),                # unique good doc -> kept
+        (2, "we think that this is a fine piece of text and it should "
+            "be kept because it has many common words in it"),
+        (3, "we think that this is a fine piece of text and it should "
+            "be kept because it has many common words in it"),  # exact dup
+        (4, near),                # near dup of 1, larger id -> dropped
+        (5, "!!! ??? ### $$$ %%%"),                    # junk -> quality gate
+        (6, "zzzq qqzk xkcdq vvbn mmnb ppoi uuyt rrte wwqa llkj hhgf "
+            "ddsa"),                                   # no markers -> 'und'
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curation.curate_corpus(df).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 2}
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].pred_lang == "en"
+    assert all(r.n_tokens >= 10 and r.quality_score >= 0.3 for r in out)
