@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from globalign_spark.config import unit_cost_params  # noqa: E402
 from globalign_spark.ops import curation, dedup, similarity, text as text_ops  # noqa: E402
-from globalign_spark.pipeline import blocking  # noqa: E402
+from globalign_spark.pipeline import blocking, incremental  # noqa: E402
 from globalign_spark.pipeline.clustering import connected_components  # noqa: E402
 from globalign_spark.pipeline.scoring import score_pairs  # noqa: E402
 
@@ -251,9 +251,20 @@ def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
         bucket_cap=ORACLE_UNCAPPED,
     )
+    edges = _cand_to_edges(d, cand)
+    comps = connected_components(edges, src="id_1", dst="id_2")
+    return comps.select(F.col("id").alias("doc_id"), "component")
+
+
+def _cand_to_edges(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Candidate pairs (id_1, id_2) -> above-threshold edges: broadcast
+    text attach, pair-hash repartition (byte-blind AQE under-parallelizes
+    compute-heavy pair rows), banded alignment scoring, threshold."""
+    spark = d.sparkSession
     t = d.select("doc_id", "text")
     pairs = (
-        cand.join(
+        cand.select("id_1", "id_2")
+        .join(
             F.broadcast(
                 t.select(F.col("doc_id").alias("id_1"),
                          F.col("text").alias("text_1"))
@@ -273,14 +284,50 @@ def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = score_pairs(pairs, unit_cost_params(), sim_threshold=SIM_THRESHOLD)
-    edges = scored.where(
+    return scored.where(
         (~F.col("oversize"))
         & (
             1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
             >= SIM_THRESHOLD
         )
     ).select("id_1", "id_2")
-    comps = connected_components(edges, src="id_1", dst="id_2")
+
+
+# Deterministic old/new split for the incremental-ER demonstration: ~25%
+# of docs arrive as the "new crawl batch".
+INCR_NEW_MOD = 4
+
+
+def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ER: cluster the old 75% of the corpus with the batch
+    pipeline, then fold the remaining 25% in via pipeline/incremental.py —
+    LSH-probing only buckets the new docs touch and re-clustering only the
+    components a new edge reaches. The oracle is the FULL-BATCH closure
+    over the whole corpus (same SQL as er_lsh_pipeline): a hash match
+    proves incremental maintenance is exactly equivalent to recomputing
+    from scratch."""
+    d = _docs_aug(spark, sf_dir).withColumn(
+        "is_new", F.col("doc_id") % INCR_NEW_MOD == 0
+    )
+    old = d.where(~F.col("is_new"))
+    # Existing state, as a production deployment would read it from its
+    # checkpointed assignment table: the batch pipeline's output on the
+    # old corpus.
+    old_cand = dedup.dedup_minhash_lsh(
+        old, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
+        bucket_cap=ORACLE_UNCAPPED,
+    )
+    old_assign = connected_components(
+        _cand_to_edges(old, old_cand), src="id_1", dst="id_2"
+    )
+    # The incremental step: candidates touching >=1 new doc, scored with
+    # the same banded kernel, merged into the existing components.
+    cand = incremental.incremental_candidates(
+        d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
+        bucket_cap=ORACLE_UNCAPPED,
+    )
+    new_edges = _cand_to_edges(d, cand)
+    comps = incremental.incremental_components(old_assign, new_edges)
     return comps.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -408,6 +455,9 @@ reach as (
 select node as doc_id, min(comp) as component
 from reach group by node
 """
+
+# The incremental path must reproduce the full-batch closure bit-for-bit.
+SQL_ER_INCREMENTAL = SQL_ER_LSH_PIPELINE
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "align_pairs": q_align_pairs,
         "er_end_to_end": q_er_end_to_end,
         "er_lsh_pipeline": q_er_lsh_pipeline,
+        "er_incremental": q_er_incremental,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1218,6 +1269,7 @@ def oracle_sql() -> dict[str, str]:
         "align_pairs": SQL_ALIGN_PAIRS,
         "er_end_to_end": SQL_ER_END_TO_END,
         "er_lsh_pipeline": SQL_ER_LSH_PIPELINE,
+        "er_incremental": SQL_ER_INCREMENTAL,
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,

@@ -41,6 +41,7 @@ HEADLINE = [
     "quality",
     "token_counts",
     "corpus_curation",
+    "er_incremental",
     "ann_topk",
     "ann_lsh",
     "ann_ivf",

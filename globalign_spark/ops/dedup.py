@@ -168,21 +168,24 @@ def band_hashes(signature: Column, num_bands: int, rows_per_band: int) -> Column
     )
 
 
-def dedup_minhash_lsh(
+def lsh_band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     num_perm: int = 16,
     num_bands: int = 4,
-    bucket_cap: int = 500,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
+    """(_id, band_id, band_hash): B banded-signature rows per document.
+
+    Band key: md5(band_id | s_j0,s_j1,...) straight from the wide signature
+    columns — pure codegen projection, then one posexplode of B band rows
+    per doc. This is the table a production deployment checkpoints (bucketed
+    by (band_id, band_hash)) so that incremental batches probe it without
+    recomputing signatures for the whole corpus (pipeline/incremental.py).
+    """
     rows = num_perm // num_bands
     sig = minhash_signature_wide(df, id_col, text_col, k, num_perm)
-    # Band key: md5(band_id | s_j0,s_j1,...) straight from the wide signature
-    # columns — pure codegen projection, then one posexplode of B band rows
-    # per doc.
     band_cols = F.array(
         *[
             F.md5(
@@ -201,9 +204,22 @@ def dedup_minhash_lsh(
             for b in range(num_bands)
         ]
     )
-    exploded = sig.select(
+    return sig.select(
         "_id", F.posexplode(band_cols).alias("band_id", "band_hash")
     )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    bucket_cap: int = 500,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
+    exploded = lsh_band_rows(df, id_col, text_col, k, num_perm, num_bands)
     sizes = exploded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )

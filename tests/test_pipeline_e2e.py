@@ -220,3 +220,56 @@ def test_checkpoint_refuses_config_mismatch(spark, tmp_path):
         run_pipeline(spark, pages, cfg2)
     # same config resumes fine
     run_pipeline(spark, pages, PipelineConfig(warehouse=wh, sn_window=3))
+
+
+def test_incremental_components_vs_recompute(spark):
+    """incremental_components must equal full CC over (old ∪ new) edges:
+    merges two existing components via a bridging edge, attaches brand-new
+    nodes, and passes untouched components through verbatim."""
+    from globalign_spark.pipeline.incremental import incremental_components
+
+    old_edges = [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)]
+    new_edges = [(3, 10), (40, 41), (21, 50)]
+    old_df = spark.createDataFrame(old_edges, "src long, dst long")
+    old_assign = connected_components(old_df)
+    got = {
+        r.id: r.component
+        for r in incremental_components(
+            old_assign,
+            spark.createDataFrame(new_edges, "id_1 long, id_2 long"),
+        ).collect()
+    }
+    both = spark.createDataFrame(
+        old_edges + new_edges, "src long, dst long"
+    )
+    exp = {r.id: r.component for r in connected_components(both).collect()}
+    assert got == exp
+    # the untouched component (30, 31) is still labeled by its min member
+    assert got[31] == 30
+
+
+def test_incremental_candidates_completeness(spark):
+    """Every batch LSH candidate pair with >=1 new endpoint is produced,
+    and no old-old pair is (those are the previous run's responsibility)."""
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline.incremental import incremental_candidates
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the quiet hills tonight"
+    )
+    rows = [(i, base[:60 + (i % 7) * 9] + f" tail{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 4 == 0)
+
+    batch = {
+        (r.id_1, r.id_2)
+        for r in dedup.dedup_minhash_lsh(docs, bucket_cap=10**9).collect()
+    }
+    incr = {
+        (r.id_1, r.id_2)
+        for r in incremental_candidates(flagged, bucket_cap=10**9).collect()
+    }
+    want = {p for p in batch if p[0] % 4 == 0 or p[1] % 4 == 0}
+    assert incr == want
+    assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
