@@ -23,7 +23,7 @@ QUERIES = [
     "er_lsh_pipeline", "dedup_exact", "dedup_minhash_lsh",
     "simhash_near_pairs", "ngram_jaccard", "fingerprint_overlap",
     "ann_topk", "ann_lsh", "sorted_neighborhood", "events_window",
-    "agg_lineitem", "join_topk", "corpus_curation",
+    "agg_lineitem", "join_topk", "corpus_curation", "er_incremental",
 ]
 
 
