@@ -218,7 +218,20 @@ def dedup_minhash_lsh(
     num_bands: int = 4,
     bucket_cap: int = 500,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash."""
+    """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash.
+
+    The band rows feed three plan branches (bucket sizing and both sides
+    of the pair join), so the signature pipeline appears multiple times in
+    the static plan. Deliberately NOT persisted: measured at sf0.1, a
+    .persist() here made this query 1.6x slower and the downstream ER
+    queries up to 5x slower — the cache materialization is a barrier that
+    kills pipelining, and the InMemoryRelation's unknown size statistics
+    demote the small-side joins from broadcast to sort-merge. At corpus
+    scale the reuse belongs in storage, not the query: checkpoint
+    :func:`lsh_band_rows` once (the orchestrator's blocking stage
+    checkpoints its candidates the same way) and every downstream branch
+    scans that table.
+    """
     exploded = lsh_band_rows(df, id_col, text_col, k, num_perm, num_bands)
     sizes = exploded.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")

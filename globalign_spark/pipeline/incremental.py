@@ -63,6 +63,11 @@ def incremental_candidates(
     the checkpointed signature table instead (see module docstring) and
     only the `hot`/`touched` joins below run per batch.
     """
+    # The band rows feed the hot-bucket filter, the bucket-size count and
+    # both sides of the pair join. Not persisted — measured 5x slower at
+    # sf0.1 (cache barrier + lost broadcast planning; see the
+    # dedup_minhash_lsh docstring). Production reads the checkpointed
+    # band_rows table here, so only the joins below run per batch.
     bands = dedup.lsh_band_rows(
         docs, id_col, text_col, k, num_perm, num_bands
     ).join(
