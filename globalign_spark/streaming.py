@@ -180,3 +180,127 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_er(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    edge_fn=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    bucket_cap: int = 500,
+):
+    """Maintain entity clusters over a document stream, one micro-batch at
+    a time, with the batch-equivalence-proved incremental path
+    (pipeline/incremental.py): each batch LSH-probes only the buckets it
+    touches and re-clusters only the components its edges reach.
+
+    State layout under ``state_dir`` (parquet; an Iceberg deployment makes
+    these two tables with snapshot-per-batch):
+
+        docs/v{batch_id}/    the batch's (id, text) rows
+        assign/v{batch_id}/  full (id, component) assignment after batch
+
+    Restart/exactly-once: foreachBatch may re-deliver a batch after a
+    crash with the SAME batch_id; both writes are keyed by batch_id and
+    the previous state is read as ``max(version) < batch_id``, so a
+    re-run overwrites its own output idempotently instead of
+    double-applying it.
+
+    ``edge_fn(docs, cand) -> DataFrame(id_1, id_2)`` turns candidate
+    pairs into edges (e.g. alignment-score threshold); default keeps
+    every LSH candidate (pure near-dup clustering).
+
+    Returns the foreachBatch-ready ``StreamingQuery``.
+    """
+    from pathlib import Path
+
+    from globalign_spark.pipeline.incremental import (
+        incremental_candidates,
+        incremental_components,
+    )
+
+    root = Path(state_dir)
+
+    def _versions(sub: str, below: int) -> list[Path]:
+        base = root / sub
+        if not base.is_dir():
+            return []
+        out = []
+        for p in base.iterdir():
+            if p.name.startswith("v") and p.name[1:].isdigit():
+                if int(p.name[1:]) < below:
+                    out.append(p)
+        return sorted(out, key=lambda p: int(p.name[1:]))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
+        doc_dirs = _versions("docs", batch_id)
+        assign_dirs = _versions("assign", batch_id)
+        if doc_dirs:
+            old_docs = spark.read.parquet(*[str(p) for p in doc_dirs])
+            # re-delivered rows (source overlap) count as old, not new
+            batch = batch.join(
+                old_docs.select(id_col), id_col, "left_anti"
+            )
+            corpus = old_docs.withColumn("is_new", F.lit(False)).unionByName(
+                batch.withColumn("is_new", F.lit(True))
+            )
+        else:
+            corpus = batch.withColumn("is_new", F.lit(True))
+        if assign_dirs:
+            old_assign = spark.read.parquet(str(assign_dirs[-1]))
+        else:
+            old_assign = None
+
+        cand = incremental_candidates(
+            corpus, id_col=id_col, text_col=text_col, k=k,
+            num_perm=num_perm, num_bands=num_bands, bucket_cap=bucket_cap,
+        )
+        edges = (
+            edge_fn(corpus, cand)
+            if edge_fn is not None
+            else cand.select("id_1", "id_2")
+        )
+        if old_assign is None:
+            from globalign_spark.pipeline.clustering import (
+                connected_components,
+            )
+
+            assign = connected_components(
+                edges, src="id_1", dst="id_2"
+            ).select(F.col("id"), F.col("component"))
+        else:
+            assign = incremental_components(old_assign, edges)
+        # batch_id-keyed writes: idempotent under foreachBatch re-delivery
+        assign.write.mode("overwrite").parquet(
+            str(root / "assign" / f"v{batch_id}")
+        )
+        batch.write.mode("overwrite").parquet(
+            str(root / "docs" / f"v{batch_id}")
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def latest_assignment(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read the newest assign/v* written by :func:`stream_incremental_er`."""
+    from pathlib import Path
+
+    base = Path(state_dir) / "assign"
+    vs = [
+        p for p in base.iterdir()
+        if p.name.startswith("v") and p.name[1:].isdigit()
+    ]
+    latest = max(vs, key=lambda p: int(p.name[1:]))
+    return spark.read.parquet(str(latest))

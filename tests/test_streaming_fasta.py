@@ -179,3 +179,96 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     a_md5s = [r.text_md5 for r in got2.where("host = 'a.com'").collect()]
     assert len(a_md5s) == 3  # not 4: /4 was suppressed by restored state
     assert len(set(a_md5s)) == 3
+
+
+def _er_docs(spark, n=36):
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the quiet hills tonight"
+    )
+    rows = [
+        (i, base[: 60 + (i % 6) * 10] + f" tail{i % 3}") for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_stream_incremental_er_matches_batch(spark, tmp_path):
+    """Micro-batched incremental clustering over a doc stream converges to
+    the batch LSH clustering of the full corpus."""
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline.clustering import connected_components
+
+    docs = _er_docs(spark)
+    src = tmp_path / "docs_in"
+    # three drop files -> (with maxFilesPerTrigger=1) three micro-batches
+    for part in range(3):
+        docs.where(F.col("doc_id") % 3 == part).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = streaming.stream_incremental_er(
+        stream, str(tmp_path / "state"), str(tmp_path / "ck"),
+        bucket_cap=10**9,
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.id, r.component)
+        for r in streaming.latest_assignment(
+            spark, str(tmp_path / "state")
+        ).collect()
+    }
+    cand = dedup.dedup_minhash_lsh(docs, bucket_cap=10**9)
+    exp = {
+        (r.id, r.component)
+        for r in connected_components(cand, src="id_1", dst="id_2").collect()
+    }
+    assert got == exp
+
+
+def test_stream_incremental_er_restart(spark, tmp_path):
+    """New files after a drained run are picked up from the checkpoint and
+    folded in; the final assignment still equals the batch clustering."""
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline.clustering import connected_components
+
+    docs = _er_docs(spark)
+    src = tmp_path / "docs_in"
+    first = docs.where(F.col("doc_id") < 24)
+    first.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        streaming.stream_incremental_er(
+            stream, str(tmp_path / "state"), str(tmp_path / "ck"),
+            bucket_cap=10**9,
+        ).awaitTermination()
+
+    run()
+    # second "day": the rest of the corpus arrives, same checkpoint
+    docs.where(F.col("doc_id") >= 24).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+
+    got = {
+        (r.id, r.component)
+        for r in streaming.latest_assignment(
+            spark, str(tmp_path / "state")
+        ).collect()
+    }
+    cand = dedup.dedup_minhash_lsh(docs, bucket_cap=10**9)
+    exp = {
+        (r.id, r.component)
+        for r in connected_components(cand, src="id_1", dst="id_2").collect()
+    }
+    assert got == exp
