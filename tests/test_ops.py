@@ -304,3 +304,76 @@ def test_curate_corpus_policy(spark):
     by_id = {r.doc_id: r for r in out}
     assert by_id[1].pred_lang == "en"
     assert all(r.n_tokens >= 10 and r.quality_score >= 0.3 for r in out)
+
+
+def test_duplicate_bomb_stays_bounded(spark):
+    """Behavioral skew-bomb test: a 600-copy boilerplate family must not
+    go quadratic through any pair-generating op. With bucket_cap=50 the
+    bomb's buckets (size 600) are excluded, so candidate counts stay
+    bounded while pairs among ordinary docs are unaffected."""
+    base = (
+        "breaking news from the town hall meeting where council members "
+        "discussed the new public library funding proposal at length"
+    )
+    bomb = [(i, "subscribe to our newsletter for daily updates and offers")
+            for i in range(600)]
+    normal = [
+        (1000 + i, base[: 70 + (i % 5) * 10] + f" tail{i % 2}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(bomb + normal, "doc_id long, text string")
+
+    capped = dedup.dedup_minhash_lsh(docs, bucket_cap=50)
+    normal_only = spark.createDataFrame(normal, "doc_id long, text string")
+    exp_normal = {
+        (r.id_1, r.id_2)
+        for r in dedup.dedup_minhash_lsh(
+            normal_only, bucket_cap=50
+        ).collect()
+    }
+    got = {(r.id_1, r.id_2) for r in capped.collect()}
+    # C(600,2) = 179,700 bomb pairs never materialize...
+    assert got == exp_normal
+    # ...while the exact-dedup prepass keeps ONE representative, whose
+    # pairs (none here - the bomb text is unlike the normal docs) flow on.
+    reps = dedup.dedup_exact(docs)
+    assert reps.where(F.col("n_dupes") == 600).count() == 1
+
+    sim_capped = dedup.simhash_near_pairs(
+        dedup.add_simhash(docs), bucket_cap=50
+    )
+    assert sim_capped.where(
+        (F.col("id_1") < 600) & (F.col("id_2") < 600)
+    ).count() == 0
+
+
+def test_incremental_equals_batch_under_cap_pressure(spark):
+    """The incremental candidate generator measures bucket_cap on FULL
+    bucket size, so its drops match a batch run even when a hot bucket
+    straddles the old/new split - the equivalence the oracle row proves
+    uncapped must also hold capped."""
+    from globalign_spark.pipeline.incremental import incremental_candidates
+
+    bomb = [(i, "subscribe to our newsletter for daily updates and offers")
+            for i in range(80)]
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the quiet hills tonight"
+    )
+    normal = [
+        (1000 + i, base[: 60 + (i % 6) * 10] + f" tail{i % 3}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(bomb + normal, "doc_id long, text string")
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 4 == 0)
+
+    cap = 30  # bomb bucket (80) over cap; normal buckets under
+    batch = {
+        (r.id_1, r.id_2)
+        for r in dedup.dedup_minhash_lsh(docs, bucket_cap=cap).collect()
+    }
+    incr = {
+        (r.id_1, r.id_2)
+        for r in incremental_candidates(flagged, bucket_cap=cap).collect()
+    }
+    assert incr == {p for p in batch if p[0] % 4 == 0 or p[1] % 4 == 0}
