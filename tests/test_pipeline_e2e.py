@@ -273,3 +273,46 @@ def test_incremental_candidates_completeness(spark):
     want = {p for p in batch if p[0] % 4 == 0 or p[1] % 4 == 0}
     assert incr == want
     assert all(a % 4 == 0 or b % 4 == 0 for a, b in incr)
+
+
+def test_incremental_components_random_graphs(spark):
+    """Randomized: for random graphs and random old/new edge splits,
+    folding the new edges into CC(old) must equal CC(old ∪ new) —
+    including pathological splits (all-new, all-old)."""
+    from globalign_spark.pipeline.incremental import incremental_components
+
+    rng = np.random.Generator(np.random.Philox(7))
+    for trial in range(4):
+        n_nodes = int(rng.integers(20, 120))
+        n_edges = int(rng.integers(10, 150))
+        edges = [
+            (int(rng.integers(0, n_nodes)), int(rng.integers(0, n_nodes)))
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        cut = {0: 0, 1: len(edges), 2: len(edges) // 2}.get(
+            trial, int(rng.integers(0, len(edges)))
+        )
+        old, new = edges[:cut], edges[cut:]
+        old_assign = connected_components(
+            spark.createDataFrame(old or [(0, 0)], "src long, dst long")
+            .where(F.col("src") != F.col("dst"))
+        )
+        got = {
+            r.id: r.component
+            for r in incremental_components(
+                old_assign,
+                spark.createDataFrame(
+                    new or [(0, 0)], "id_1 long, id_2 long"
+                ).where(F.col("id_1") != F.col("id_2")),
+            ).collect()
+        }
+        exp = {
+            r.id: r.component
+            for r in connected_components(
+                spark.createDataFrame(
+                    edges, "src long, dst long"
+                )
+            ).collect()
+        }
+        assert got == exp, f"trial {trial} cut {cut}"
