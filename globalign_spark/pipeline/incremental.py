@@ -74,17 +74,58 @@ def incremental_candidates(
         docs.select(F.col(id_col).alias("_id"), F.col(new_col).alias("_new")),
         "_id",
     )
-    # Buckets containing >=1 new doc. Small relative to the corpus's full
-    # bucket set (B rows per new doc), so the join back is a broadcast at
-    # real batch/corpus ratios; local mode lets AQE pick.
+    # Buckets containing >=1 new doc are small relative to the corpus's
+    # full bucket set (B rows per new doc), so the probe join inside the
+    # shared helper broadcasts at real batch/corpus ratios; local mode
+    # lets AQE pick.
+    return _pairs_from_flagged_bands(bands, bucket_cap)
+
+
+def incremental_candidates_from_bands(
+    old_bands: DataFrame,
+    new_bands: DataFrame,
+    bucket_cap: int = 500,
+) -> DataFrame:
+    """The production per-batch form of :func:`incremental_candidates`.
+
+    ``old_bands`` is the checkpointed banded-signature table of the existing
+    corpus — ``(_id, band_id, band_hash)`` as written by
+    :func:`ops.dedup.lsh_band_rows`, stored bucketed by
+    ``(band_id, band_hash)`` (pipeline.bucketing) so the probe joins below
+    are shuffle-free on the big side. ``new_bands`` is the incoming batch's
+    band rows, computed ONCE by the caller (``lsh_band_rows(new_batch)``),
+    appended to the checkpoint table for the next batch and passed here for
+    this batch's probe. Ids must be disjoint between the two sides (a crawl
+    batch mints new doc ids).
+
+    Only signatures for the NEW batch are ever computed — the old corpus is
+    touched exclusively through the checkpointed table, which is what makes
+    a 10^9-docs/day batch against a 10^12-doc corpus linear in the batch,
+    not the corpus. Returns the same (id_1, id_2, new_1, new_2) frame as
+    :func:`incremental_candidates` (proved equal in
+    tests/test_pipeline_e2e.py::test_incremental_from_bands_equivalence).
+    """
+    bands = old_bands.select(
+        "_id", "band_id", "band_hash", F.lit(False).alias("_new")
+    ).unionByName(
+        new_bands.select(
+            "_id", "band_id", "band_hash", F.lit(True).alias("_new")
+        )
+    )
+    return _pairs_from_flagged_bands(bands, bucket_cap)
+
+
+def _pairs_from_flagged_bands(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Hot-bucket probe shared by both incremental candidate paths: bands is
+    (_id, band_id, band_hash, _new); emits capped candidate pairs with >=1
+    new endpoint. The skew cap counts FULL bucket size (probed buckets are
+    counted whole) so drops match a batch run over the union corpus."""
     hot = (
         bands.where(F.col("_new"))
         .select("band_id", "band_hash")
         .distinct()
     )
     touched = bands.join(hot, ["band_id", "band_hash"])
-    # Same skew guard as the batch path, measured on FULL bucket size (a
-    # probed bucket is counted whole), so cap drops match a batch run.
     sizes = touched.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )

@@ -316,3 +316,45 @@ def test_incremental_components_random_graphs(spark):
             ).collect()
         }
         assert got == exp, f"trial {trial} cut {cut}"
+
+
+def test_incremental_from_bands_equivalence(spark, tmp_path):
+    """The production per-batch path — old side read from a checkpointed
+    banded-signature table, new side's bands computed once — must produce
+    exactly the same candidate pairs as incremental_candidates over the
+    flagged union corpus (which itself equals the batch run's new-touching
+    pairs; see test_incremental_candidates_completeness)."""
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline.incremental import (
+        incremental_candidates,
+        incremental_candidates_from_bands,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the sun sets slowly behind the quiet hills tonight"
+    )
+    rows = [(i, base[:60 + (i % 7) * 9] + f" tail{i % 3}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.where(F.col("doc_id") % 4 != 0)
+    new = docs.where(F.col("doc_id") % 4 == 0)
+
+    # Previous run checkpointed its band rows; round-trip through parquet
+    # like the orchestrator would.
+    path = str(tmp_path / "band_rows")
+    dedup.lsh_band_rows(old).write.parquet(path)
+    old_bands = spark.read.parquet(path)
+    new_bands = dedup.lsh_band_rows(new)
+
+    got = {
+        (r.id_1, r.id_2, r.new_1, r.new_2)
+        for r in incremental_candidates_from_bands(
+            old_bands, new_bands, bucket_cap=10**9
+        ).collect()
+    }
+    flagged = docs.withColumn("is_new", F.col("doc_id") % 4 == 0)
+    exp = {
+        (r.id_1, r.id_2, r.new_1, r.new_2)
+        for r in incremental_candidates(flagged, bucket_cap=10**9).collect()
+    }
+    assert got == exp and len(got) > 0
