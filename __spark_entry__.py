@@ -310,21 +310,32 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.col("doc_id") % INCR_NEW_MOD == 0
     )
     old = d.where(~F.col("is_new"))
+    new = d.where(F.col("is_new"))
+    # Production shape: the banded-signature tables are materialized ONCE
+    # per side (in deployment the old side is the checkpointed band-rows
+    # table from the previous run; localCheckpoint stands in for that
+    # scan here) — every downstream branch (bucket sizing, both sides of
+    # the pair joins, the hot-bucket probe) reads the materialized rows
+    # instead of re-running the full-corpus MinHash pipeline per branch.
+    # Measured at sf0.1: 61s -> ~20s for this query.
+    bands_old = dedup.lsh_band_rows(
+        old, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS
+    ).localCheckpoint()
+    bands_new = dedup.lsh_band_rows(
+        new, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS
+    ).localCheckpoint()
     # Existing state, as a production deployment would read it from its
     # checkpointed assignment table: the batch pipeline's output on the
     # old corpus.
-    old_cand = dedup.dedup_minhash_lsh(
-        old, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
-        bucket_cap=ORACLE_UNCAPPED,
-    )
+    old_cand = dedup.pairs_from_band_rows(bands_old, bucket_cap=ORACLE_UNCAPPED)
     old_assign = connected_components(
         _cand_to_edges(old, old_cand), src="id_1", dst="id_2"
     )
-    # The incremental step: candidates touching >=1 new doc, scored with
-    # the same banded kernel, merged into the existing components.
-    cand = incremental.incremental_candidates(
-        d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
-        bucket_cap=ORACLE_UNCAPPED,
+    # The incremental step: candidates touching >=1 new doc (probing only
+    # buckets the batch touches), scored with the same banded kernel,
+    # merged into the existing components.
+    cand = incremental.incremental_candidates_from_bands(
+        bands_old, bands_new, bucket_cap=ORACLE_UNCAPPED
     )
     new_edges = _cand_to_edges(d, cand)
     comps = incremental.incremental_components(old_assign, new_edges)

@@ -233,10 +233,18 @@ def dedup_minhash_lsh(
     scans that table.
     """
     exploded = lsh_band_rows(df, id_col, text_col, k, num_perm, num_bands)
-    sizes = exploded.groupBy("band_id", "band_hash").agg(
+    return pairs_from_band_rows(exploded, bucket_cap)
+
+
+def pairs_from_band_rows(band_rows: DataFrame, bucket_cap: int = 500) -> DataFrame:
+    """Capped LSH candidate pairs (id_1 < id_2) from (_id, band_id,
+    band_hash) rows — the tail of :func:`dedup_minhash_lsh`, callable
+    directly against a checkpointed/materialized band-rows table (see
+    pipeline/incremental.py for the per-batch use)."""
+    sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )
-    ok = exploded.join(
+    ok = band_rows.join(
         sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
         ["band_id", "band_hash"],
     )

@@ -165,6 +165,11 @@ def incremental_components(
     through the new edges themselves. Output covers exactly the docs with
     >=1 edge in the union graph — the same shape the batch pipeline emits.
     """
+    # new_edges is typically the output of an expensive scoring pipeline
+    # and is consumed by two separate actions below (the endpoint set here,
+    # the CC edge union later) — materialize it once, batch-sized, exactly
+    # as connected_components checkpoints its own edge input.
+    new_edges = new_edges.select("id_1", "id_2").localCheckpoint()
     ends = (
         new_edges.select(F.col("id_1").alias(id_col))
         .union(new_edges.select(F.col("id_2").alias(id_col)))
