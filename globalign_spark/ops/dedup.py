@@ -221,16 +221,27 @@ def dedup_minhash_lsh(
     """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash.
 
     The band rows feed three plan branches (bucket sizing and both sides
-    of the pair join), so the signature pipeline appears multiple times in
-    the static plan. Deliberately NOT persisted: measured at sf0.1, a
-    .persist() here made this query 1.6x slower and the downstream ER
-    queries up to 5x slower — the cache materialization is a barrier that
-    kills pipelining, and the InMemoryRelation's unknown size statistics
-    demote the small-side joins from broadcast to sort-merge. At corpus
-    scale the reuse belongs in storage, not the query: checkpoint
-    :func:`lsh_band_rows` once (the orchestrator's blocking stage
-    checkpoints its candidates the same way) and every downstream branch
-    scans that table.
+    of the pair join), so the signature pipeline appears three times in
+    the static plan. Deliberately NOT materialized — both reuse shapes
+    measured SLOWER at sf0.1 in fresh-session paired runs:
+
+    * lazy ``.persist()``: 1.6x slower here, up to 5x slower in
+      downstream ER queries — the cache barrier kills pipelining and
+      InMemoryRelation's unknown stats demote broadcast joins to SMJ.
+    * eager ``localCheckpoint()``: ~1.8x slower here (16.0s vs 8.9s) and
+      2.4x slower in er_lsh_pipeline, measured under HIGHER load on the
+      no-checkpoint leg. (A warm-session micro-benchmark showed the
+      opposite — order-biased by the page-cache-warm scan; trust paired
+      fresh-session runs only.)
+
+    Materializing band rows pays only when the branch count is large:
+    the incremental query re-read them from 8+ branches plus two scoring
+    passes and localCheckpoint measured 2.6x FASTER there
+    (__spark_entry__.q_er_incremental). At corpus scale the reuse belongs
+    in storage: write :func:`lsh_band_rows` to a table bucketed by
+    (band_id, band_hash) (the orchestrator's blocking stage checkpoints
+    the same way) and call :func:`pairs_from_band_rows` on the scan —
+    which is also exactly the incremental path (pipeline/incremental.py).
     """
     exploded = lsh_band_rows(df, id_col, text_col, k, num_perm, num_bands)
     return pairs_from_band_rows(exploded, bucket_cap)
