@@ -199,7 +199,17 @@ def fingerprint_overlap_pairs(
     (same discipline as the LSH bucket cap). High-df fingerprints carry no
     dedup signal anyway — they are template/boilerplate text.
     """
-    fp = fingerprint_rows(df, id_col, text_col, k, window)
+    # The winnowing pipeline explodes ~n_chars gram rows per doc and sorts
+    # them in a per-doc window — the heaviest subtree here — and feeds
+    # three plan branches (df-frequency filter + both join sides).
+    # Materializing the DISTINCT (id, fp) rows once (the ~50x smaller
+    # output of the explode + window sort) is a consistent paired-run win,
+    # though a modest one: 9.4/9.5s vs 10.6s at sf0.1 in an
+    # interleaved new/old/new run — the three branches of the un-checked
+    # plan largely share scan-side work via exchange reuse. (Contrast
+    # dedup_minhash_lsh, where the same materialization measured 1.8x
+    # SLOWER — its band-row subtree is a cheap projection.)
+    fp = fingerprint_rows(df, id_col, text_col, k, window).localCheckpoint()
     if max_df is not None:
         dfreq = fp.groupBy("fp").agg(F.count("*").alias("_df"))
         fp = fp.join(
