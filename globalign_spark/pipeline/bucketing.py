@@ -21,19 +21,22 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 32,
     sort: bool = True,
 ) -> None:
-    """Persist ``df`` bucketed (and optionally sorted) by ``key``.
+    """Persist ``df`` bucketed (and optionally sorted) by ``key`` — a
+    single column or a composite key like the banded-signature table's
+    ``["band_id", "band_hash"]``.
 
     Sorting within buckets additionally removes the per-task Sort from
     later sort-merge joins — the join becomes a pure zip of pre-sorted
     buckets.
     """
-    w = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
     if sort:
-        w = w.sortBy(key)
+        w = w.sortBy(*keys)
     w.saveAsTable(table)
 
 

@@ -117,3 +117,47 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     spark.sql("drop table if exists bk_docs")
     spark.sql("drop table if exists bk_meta")
+
+
+def test_band_rows_bucketed_probe_single_exchange(spark, tmp_path):
+    """The docstring claim behind the 10^12-scale LSH design: band rows
+    stored bucketed by (band_id, band_hash) let pairs_from_band_rows run
+    its bucket-size aggregation and BOTH pair-join sides without any
+    re-shuffle of the signature table — the only Exchange left in the
+    whole candidate plan is the final distinct on (id_1, id_2). Also
+    asserts the pairs equal the direct (unbucketed) path."""
+    import shutil
+
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline import bucketing
+    from globalign_spark.sources.fixtures import pages_df
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("drop table if exists bk_band_rows")
+    shutil.rmtree(f"{wh}/bk_band_rows", ignore_errors=True)
+
+    docs = pages_df(spark, 40, seed=11).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    bands = dedup.lsh_band_rows(docs)
+    bucketing.write_bucketed(
+        bands, "bk_band_rows", ["band_id", "band_hash"], n_buckets=8
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = dedup.pairs_from_band_rows(
+            spark.table("bk_band_rows"), bucket_cap=10**9
+        )
+        plan = _plan(pairs, mode="simple")
+        n_exchanges = plan.count("Exchange")
+        assert n_exchanges == 1, plan  # only the distinct(id_1, id_2)
+        got = {(r.id_1, r.id_2) for r in pairs.collect()}
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    exp = {
+        (r.id_1, r.id_2)
+        for r in dedup.pairs_from_band_rows(bands, bucket_cap=10**9).collect()
+    }
+    assert got == exp and len(got) > 0
+    spark.sql("drop table if exists bk_band_rows")
