@@ -101,31 +101,47 @@ def incremental_candidates_from_bands(
     Only signatures for the NEW batch are ever computed — the old corpus is
     touched exclusively through the checkpointed table, which is what makes
     a 10^9-docs/day batch against a 10^12-doc corpus linear in the batch,
-    not the corpus. Returns the same (id_1, id_2, new_1, new_2) frame as
-    :func:`incremental_candidates` (proved equal in
+    not the corpus. Crucially the old side is NOT unioned with the batch
+    before the probe (a union would discard the table's bucketed layout and
+    re-shuffle the whole corpus): every new row's bucket is hot by
+    definition, so touched = (old_bands ⋈ hot) ∪ new_bands — the only join
+    against the corpus-sized table is bucket-local against the batch-sized
+    hot set, and everything downstream is touched-sized. Returns the same
+    (id_1, id_2, new_1, new_2) frame as :func:`incremental_candidates`
+    (proved equal in
     tests/test_pipeline_e2e.py::test_incremental_from_bands_equivalence).
     """
-    bands = old_bands.select(
-        "_id", "band_id", "band_hash", F.lit(False).alias("_new")
-    ).unionByName(
-        new_bands.select(
-            "_id", "band_id", "band_hash", F.lit(True).alias("_new")
-        )
+    new = new_bands.select(
+        "_id", "band_id", "band_hash", F.lit(True).alias("_new")
     )
-    return _pairs_from_flagged_bands(bands, bucket_cap)
+    hot = new.select("band_id", "band_hash").distinct()
+    touched = (
+        old_bands.select(
+            "_id", "band_id", "band_hash", F.lit(False).alias("_new")
+        )
+        .join(hot, ["band_id", "band_hash"])
+        .unionByName(new)
+    )
+    return _pairs_from_touched(touched, bucket_cap)
 
 
 def _pairs_from_flagged_bands(bands: DataFrame, bucket_cap: int) -> DataFrame:
-    """Hot-bucket probe shared by both incremental candidate paths: bands is
+    """Hot-bucket probe for the self-contained path: bands is
     (_id, band_id, band_hash, _new); emits capped candidate pairs with >=1
-    new endpoint. The skew cap counts FULL bucket size (probed buckets are
-    counted whole) so drops match a batch run over the union corpus."""
+    new endpoint."""
     hot = (
         bands.where(F.col("_new"))
         .select("band_id", "band_hash")
         .distinct()
     )
     touched = bands.join(hot, ["band_id", "band_hash"])
+    return _pairs_from_touched(touched, bucket_cap)
+
+
+def _pairs_from_touched(touched: DataFrame, bucket_cap: int) -> DataFrame:
+    """Capped pair join over probed band rows. The skew cap counts FULL
+    bucket size (probed buckets are counted whole) so drops match a batch
+    run over the union corpus."""
     sizes = touched.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )

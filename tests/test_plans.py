@@ -161,3 +161,47 @@ def test_band_rows_bucketed_probe_single_exchange(spark, tmp_path):
     }
     assert got == exp and len(got) > 0
     spark.sql("drop table if exists bk_band_rows")
+
+
+def test_incremental_probe_uses_bucketed_scan(spark):
+    """incremental_candidates_from_bands against the bucketed signature
+    table must read it as a bucketed scan (Bucketed: true in the formatted
+    plan — Spark reports 'Bucketed: false (disabled by query planner)'
+    when it decides not to exploit the layout), i.e. the corpus-sized side
+    is never re-shuffled for the hot-bucket probe."""
+    from globalign_spark.ops import dedup
+    from globalign_spark.pipeline import bucketing, incremental
+    from globalign_spark.sources.fixtures import pages_df
+
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    spark.sql("drop table if exists bk_band_rows_incr")
+    shutil.rmtree(f"{wh}/bk_band_rows_incr", ignore_errors=True)
+
+    docs = pages_df(spark, 40, seed=13).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    old = docs.limit(30)
+    new = docs.subtract(old)
+    bucketing.write_bucketed(
+        dedup.lsh_band_rows(old), "bk_band_rows_incr",
+        ["band_id", "band_hash"], n_buckets=8,
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = incremental.incremental_candidates_from_bands(
+            spark.table("bk_band_rows_incr"),
+            dedup.lsh_band_rows(new),
+            bucket_cap=10**9,
+        )
+        plan = _plan(pairs, mode="formatted")
+        scan = [
+            ln for ln in plan.splitlines()
+            if "Bucketed" in ln
+        ]
+        assert scan and all("Bucketed: true" in ln for ln in scan), plan
+        assert pairs.count() >= 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("drop table if exists bk_band_rows_incr")
