@@ -200,10 +200,19 @@ def stream_incremental_er(
     touches and re-clusters only the components its edges reach.
 
     State layout under ``state_dir`` (parquet; an Iceberg deployment makes
-    these two tables with snapshot-per-batch):
+    these tables with snapshot-per-batch):
 
         docs/v{batch_id}/    the batch's (id, text) rows
+        bands/v{batch_id}/   the batch's banded-signature rows
+                             (ops.dedup.lsh_band_rows output)
         assign/v{batch_id}/  full (id, component) assignment after batch
+
+    Signatures are computed ONCE per document, in the batch that first
+    delivers it; each micro-batch probes the accumulated ``bands`` state
+    through :func:`pipeline.incremental.incremental_candidates_from_bands`
+    (bucket-local against the batch's hot buckets), so per-batch compute
+    and shuffle stay O(batch), not O(corpus-so-far). When ``edge_fn`` is
+    None the accumulated docs state is never even read.
 
     Restart/exactly-once: foreachBatch may re-deliver a batch after a
     crash with the SAME batch_id; both writes are keyed by batch_id and
@@ -219,8 +228,9 @@ def stream_incremental_er(
     """
     from pathlib import Path
 
+    from globalign_spark.ops import dedup
     from globalign_spark.pipeline.incremental import (
-        incremental_candidates,
+        incremental_candidates_from_bands,
         incremental_components,
     )
 
@@ -240,33 +250,45 @@ def stream_incremental_er(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.select(id_col, text_col).dropDuplicates([id_col])
-        doc_dirs = _versions("docs", batch_id)
+        band_dirs = _versions("bands", batch_id)
         assign_dirs = _versions("assign", batch_id)
-        if doc_dirs:
-            old_docs = spark.read.parquet(*[str(p) for p in doc_dirs])
-            # re-delivered rows (source overlap) count as old, not new
+        old_bands = None
+        if band_dirs:
+            old_bands = spark.read.parquet(*[str(p) for p in band_dirs])
+            # re-delivered rows (source overlap) count as old, not new;
+            # the signature state carries the full seen-id set, so the
+            # wide docs state is not read for this.
             batch = batch.join(
-                old_docs.select(id_col), id_col, "left_anti"
+                old_bands.select(F.col("_id").alias(id_col)).distinct(),
+                id_col, "left_anti",
             )
-            corpus = old_docs.withColumn("is_new", F.lit(False)).unionByName(
-                batch.withColumn("is_new", F.lit(True))
-            )
-        else:
-            corpus = batch.withColumn("is_new", F.lit(True))
         if assign_dirs:
             old_assign = spark.read.parquet(str(assign_dirs[-1]))
         else:
             old_assign = None
 
-        cand = incremental_candidates(
-            corpus, id_col=id_col, text_col=text_col, k=k,
-            num_perm=num_perm, num_bands=num_bands, bucket_cap=bucket_cap,
+        # One signature pass per document, in the batch that delivers it;
+        # checkpointed because the rows feed both the probe and the
+        # bands-state write below.
+        new_bands = dedup.lsh_band_rows(
+            batch, id_col, text_col, k, num_perm, num_bands
+        ).localCheckpoint()
+        cand = incremental_candidates_from_bands(
+            old_bands if old_bands is not None else new_bands.limit(0),
+            new_bands, bucket_cap=bucket_cap,
         )
-        edges = (
-            edge_fn(corpus, cand)
-            if edge_fn is not None
-            else cand.select("id_1", "id_2")
-        )
+        if edge_fn is not None:
+            doc_dirs = _versions("docs", batch_id)
+            corpus = batch.withColumn("is_new", F.lit(True))
+            if doc_dirs:
+                corpus = (
+                    spark.read.parquet(*[str(p) for p in doc_dirs])
+                    .withColumn("is_new", F.lit(False))
+                    .unionByName(corpus)
+                )
+            edges = edge_fn(corpus, cand)
+        else:
+            edges = cand.select("id_1", "id_2")
         if old_assign is None:
             from globalign_spark.pipeline.clustering import (
                 connected_components,
@@ -283,6 +305,9 @@ def stream_incremental_er(
         )
         batch.write.mode("overwrite").parquet(
             str(root / "docs" / f"v{batch_id}")
+        )
+        new_bands.write.mode("overwrite").parquet(
+            str(root / "bands" / f"v{batch_id}")
         )
 
     return (
