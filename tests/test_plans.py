@@ -145,6 +145,12 @@ def test_band_rows_bucketed_probe_single_exchange(spark, tmp_path):
     )
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Align shuffle parallelism with the bucket count (see the comment in
+    # test_incremental_probe_uses_bucketed_scan) so the planner's
+    # bucketed-scan decision is deterministic regardless of which module
+    # created the shared session.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         pairs = dedup.pairs_from_band_rows(
             spark.table("bk_band_rows"), bucket_cap=10**9
@@ -155,6 +161,7 @@ def test_band_rows_bucketed_probe_single_exchange(spark, tmp_path):
         got = {(r.id_1, r.id_2) for r in pairs.collect()}
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     exp = {
         (r.id_1, r.id_2)
         for r in dedup.pairs_from_band_rows(bands, bucket_cap=10**9).collect()
@@ -189,6 +196,14 @@ def test_incremental_probe_uses_bucketed_scan(spark):
         ["band_id", "band_hash"], n_buckets=8,
     )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # When shuffle parallelism exceeds the bucket count (e.g. another test
+    # module created the shared session with 64 shuffle partitions),
+    # DisableUnnecessaryBucketedScan drops the bucketed scan as
+    # parallelism-reducing. A deployment sized for this layout keeps the
+    # two aligned — pin them equal here so the planner decision under test
+    # is deterministic.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         pairs = incremental.incremental_candidates_from_bands(
             spark.table("bk_band_rows_incr"),
@@ -204,4 +219,5 @@ def test_incremental_probe_uses_bucketed_scan(spark):
         assert pairs.count() >= 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     spark.sql("drop table if exists bk_band_rows_incr")
