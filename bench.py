@@ -29,11 +29,14 @@ sys.path.insert(0, str(REPO))
 
 HEADLINE = [
     "align_pairs",
+    "align_pairs_oversize",
     "er_end_to_end",
     "er_lsh_pipeline",
     "dedup_exact",
+    "minhash_signatures",
     "dedup_minhash_lsh",
     "simhash",
+    "simhash_near_pairs",
     "ngram_jaccard",
     "fingerprints",
     "fingerprint_overlap",
@@ -45,9 +48,13 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
+    "ann_ivf_trained",
     "embedding_near_dup",
     "sorted_neighborhood",
+    "salted_join",
+    "eval_join",
     "events_window",
+    "events_json",
     "agg_lineitem",
     "join_topk",
 ]
