@@ -335,11 +335,16 @@ def simhash_near_pairs(
     ``dedup_minhash_lsh``) and their loss is never silent — counted lineage
     is available via ``simhash_block_stats``.
     """
+    # The upstream simhash column is an interpreted array aggregate (the
+    # costliest expression feeding this op) and `blocked` is read by four
+    # plan branches (block sizing + both join sides); per the measured
+    # materialization rule (see dedup_minhash_lsh docstring) an expensive
+    # subtree with a narrow output and >=4 readers is checkpointed once.
     blocked = with_sim.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright("simhash", 16).alias("blk"),
-    )
+    ).localCheckpoint()
     sizes = blocked.groupBy("blk").agg(F.count("*").alias("bsz"))
     ok = blocked.join(sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"), "blk")
     a = ok.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")
