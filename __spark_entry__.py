@@ -26,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from globalign_spark.config import unit_cost_params  # noqa: E402
 from globalign_spark.ops import curation, dedup, similarity, text as text_ops  # noqa: E402
-from globalign_spark.pipeline import blocking, incremental  # noqa: E402
+from globalign_spark.pipeline import blocking, incremental, metrics  # noqa: E402
 from globalign_spark.pipeline.clustering import connected_components  # noqa: E402
 from globalign_spark.pipeline.scoring import score_pairs  # noqa: E402
 
@@ -1234,6 +1234,66 @@ from counts
 """
 
 
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocker evaluation (pipeline.metrics.blocking_quality): pair
+    completeness / pair quality / reduction ratio of the MinHash-LSH
+    candidate generator against the injected-variant ground truth — the
+    metrics that decide band/row settings BEFORE paying for scoring. Uses
+    the same truth construction as q_eval_join and the same uncapped-cand
+    config as q_dedup_minhash_lsh (capless SQL twin)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    t1 = d.where(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + 100000).alias("u2")
+    )
+    t2 = d.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + 200000).alias("u2")
+    )
+    t3 = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("u1"),
+        (F.col("doc_id") + 200000).alias("u2"),
+    )
+    truth = t1.unionByName(t2).unionByName(t3)
+    docs = _docs_aug(spark, sf_dir)
+    cand = dedup.dedup_minhash_lsh(
+        docs,
+        k=5,
+        num_perm=MINHASH_PERM,
+        num_bands=MINHASH_BANDS,
+        bucket_cap=ORACLE_UNCAPPED,
+    )
+    return metrics.blocking_quality(cand, truth, docs.count())
+
+
+SQL_BLOCKING_QUALITY = f"""
+with docs as {DOCS_AUG_SQL},
+{_MH_CAND_CTES},
+truth as (
+  select doc_id as u1, doc_id + 100000 as u2 from documents where doc_id % 5 = 0
+  union all
+  select doc_id, doc_id + 200000 from documents where doc_id % 10 = 0
+  union all
+  select doc_id + 100000, doc_id + 200000 from documents where doc_id % 10 = 0
+),
+counts as (
+  select
+    (select count(*) from docs) as n_records,
+    (select count(*) from cand) as n_cand,
+    (select count(*) from truth) as n_truth,
+    (select count(*) from cand c where exists
+       (select 1 from truth t where t.u1 = c.id_1 and t.u2 = c.id_2)) as covered
+)
+select n_records, n_cand, n_truth, covered,
+       case when n_truth = 0 then 1.0
+            else round(covered::DOUBLE / n_truth, 6) end as pair_completeness,
+       case when n_cand = 0 then 1.0
+            else round(covered::DOUBLE / n_cand, 6) end as pair_quality,
+       round(1.0 - n_cand::DOUBLE
+                   / (n_records::DOUBLE * (n_records - 1) / 2), 6)
+         as reduction_ratio
+from counts
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -1268,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
         "eval_join": q_eval_join,
+        "blocking_quality": q_blocking_quality,
         "events_window": q_events_window,
         "events_json": q_events_json,
         "agg_lineitem": q_agg_lineitem,
@@ -1301,6 +1362,7 @@ def oracle_sql() -> dict[str, str]:
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,
         "eval_join": SQL_EVAL_JOIN,
+        "blocking_quality": SQL_BLOCKING_QUALITY,
         "events_window": SQL_EVENTS_WINDOW,
         "events_json": SQL_EVENTS_JSON,
         "agg_lineitem": SQL_AGG_LINEITEM,

@@ -53,6 +53,7 @@ HEADLINE = [
     "sorted_neighborhood",
     "salted_join",
     "eval_join",
+    "blocking_quality",
     "events_window",
     "events_json",
     "agg_lineitem",

@@ -65,6 +65,65 @@ def pairwise_prf(pred: DataFrame, truth: DataFrame) -> dict:
     }
 
 
+def blocking_quality(
+    cand: DataFrame, truth: DataFrame, n_records: int
+) -> DataFrame:
+    """Standard blocker-evaluation metrics (pair completeness, pair quality,
+    reduction ratio — Christen, *Data Matching* 2012, ch. 7) for a candidate
+    generator measured against labeled duplicate pairs.
+
+    ``cand`` and ``truth`` are canonically-oriented pair sets (id_1 < id_2,
+    first two columns); ``n_records`` the corpus size the blocker ran over.
+    Returns one row:
+
+      pair_completeness  |cand ∩ truth| / |truth|  (blocker recall — an
+                         upper bound on end-to-end ER recall)
+      pair_quality       |cand ∩ truth| / |cand|   (candidate precision)
+      reduction_ratio    1 - |cand| / C(n_records, 2)
+
+    ONE action over the candidate lineage (full-outer join + single agg):
+    candidate generation is the expensive stage under measurement, so it
+    must not be re-executed once per metric (same discipline as
+    :func:`pairwise_prf`).
+    """
+    c = cand.select(
+        F.col(cand.columns[0]).alias("u1"), F.col(cand.columns[1]).alias("u2")
+    ).distinct()
+    t = truth.select(
+        F.col(truth.columns[0]).alias("u1"), F.col(truth.columns[1]).alias("u2")
+    ).distinct()
+    m = c.withColumn("_c", F.lit(1)).join(
+        t.withColumn("_t", F.lit(1)), ["u1", "u2"], "full_outer"
+    )
+    row = m.agg(
+        F.count("_c").alias("n_cand"),
+        F.count("_t").alias("n_truth"),
+        F.count(
+            F.when(F.col("_c").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("covered"),
+    ).first()
+    base = cand.sparkSession.createDataFrame(
+        [(int(n_records), row["n_cand"], row["n_truth"], row["covered"])],
+        "n_records long, n_cand long, n_truth long, covered long",
+    )
+    # F.round (HALF_UP) matches DuckDB round, not Python banker's rounding.
+    return base.select(
+        "*",
+        F.when(F.col("n_truth") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("covered") / F.col("n_truth"), 6))
+        .alias("pair_completeness"),
+        F.when(F.col("n_cand") == 0, F.lit(1.0))
+        .otherwise(F.round(F.col("covered") / F.col("n_cand"), 6))
+        .alias("pair_quality"),
+        F.round(
+            F.lit(1.0)
+            - F.col("n_cand")
+            / (F.col("n_records") * (F.col("n_records") - F.lit(1)) / F.lit(2)),
+            6,
+        ).alias("reduction_ratio"),
+    )
+
+
 def stage_lineage(df: DataFrame, stage: str) -> DataFrame:
     """Per-partition lineage rows for a stage output: (stage, partition_id,
     n_rows) — appended to the run's lineage table by the orchestrator."""

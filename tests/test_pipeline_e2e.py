@@ -358,3 +358,37 @@ def test_incremental_from_bands_equivalence(spark, tmp_path):
         for r in incremental_candidates(flagged, bucket_cap=10**9).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_blocking_quality_metrics(spark):
+    """Hand-checkable metric values: 4 records, 3 candidates, 2 truth
+    pairs, 1 covered -> PC=0.5, PQ~=0.333333, RR = 1 - 3/6 = 0.5."""
+    from globalign_spark.pipeline.metrics import blocking_quality
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], "id_1 long, id_2 long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (3, 4)], "id_1 long, id_2 long"
+    )
+    row = blocking_quality(cand, truth, n_records=4).first()
+    assert row["n_records"] == 4
+    assert row["n_cand"] == 3
+    assert row["n_truth"] == 2
+    assert row["covered"] == 1
+    assert row["pair_completeness"] == 0.5
+    assert row["pair_quality"] == pytest.approx(0.333333)
+    assert row["reduction_ratio"] == 0.5
+
+
+def test_blocking_quality_empty_sides(spark):
+    """Degenerate inputs take the defined limits (no div-by-zero)."""
+    from globalign_spark.pipeline.metrics import blocking_quality
+
+    empty = spark.createDataFrame([], "id_1 long, id_2 long")
+    truth = spark.createDataFrame([(1, 2)], "id_1 long, id_2 long")
+    row = blocking_quality(empty, truth, n_records=3).first()
+    assert row["n_cand"] == 0
+    assert row["pair_completeness"] == 0.0
+    assert row["pair_quality"] == 1.0
+    assert row["reduction_ratio"] == 1.0
