@@ -440,8 +440,7 @@ with docs as {DOCS_AUG_SQL},
 select id_1, id_2 from cand
 """
 
-SQL_ER_LSH_PIPELINE = f"""
-with recursive docs as {DOCS_AUG_SQL},
+_ER_CLOSURE_CTES = f"""docs as {DOCS_AUG_SQL},
 {_MH_CAND_CTES},
 edges0 as (
   select c.id_1, c.id_2
@@ -462,7 +461,10 @@ reach as (
   select e.dst as node, r.comp
   from reach r join edges e on e.src = r.node
   where r.comp < e.dst
-)
+)"""
+
+SQL_ER_LSH_PIPELINE = f"""
+with recursive {_ER_CLOSURE_CTES}
 select node as doc_id, min(comp) as component
 from reach group by node
 """
@@ -1234,6 +1236,42 @@ from counts
 """
 
 
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster purity table over the ER pipeline's output: each
+    predicted component vs the injected-variant ground truth (a doc's true
+    entity is doc_id % 100000 — variants carry +100000/+200000 offsets).
+    Integer-exact columns (counts + one two-integer division per row) so
+    the oracle hash can't wobble on float-summation order, unlike a global
+    B-cubed average. Complements eval_join (global pairwise P/R) and
+    blocking_quality (candidate-stage recall) with the per-cluster view a
+    user actually debugs with: which clusters merged distinct entities
+    (n_truth_clusters > 1) and how badly (purity < 1)."""
+    comp = q_er_lsh_pipeline(spark, sf_dir)
+    # truth is a function of doc_id: pass a Column so the ER lineage runs
+    # once (a truth FRAME derived from comp would self-join the pipeline
+    # against itself and execute blocking+scoring+CC twice).
+    return metrics.cluster_purity(comp, F.col("doc_id") % 100000)
+
+
+SQL_CLUSTER_PURITY = f"""
+with recursive {_ER_CLOSURE_CTES},
+comp as (
+  select node as doc_id, min(comp) as component
+  from reach group by node
+),
+ov as (
+  select component, doc_id % 100000 as tcluster, count(*) as ov
+  from comp group by component, doc_id % 100000
+)
+select component,
+       sum(ov)::BIGINT as n_members,
+       max(ov) as majority_overlap,
+       count(*) as n_truth_clusters,
+       round(max(ov)::DOUBLE / sum(ov), 6) as purity
+from ov group by component
+"""
+
+
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocker evaluation (pipeline.metrics.blocking_quality): pair
     completeness / pair quality / reduction ratio of the MinHash-LSH
@@ -1329,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": q_salted_join,
         "eval_join": q_eval_join,
         "blocking_quality": q_blocking_quality,
+        "cluster_purity": q_cluster_purity,
         "events_window": q_events_window,
         "events_json": q_events_json,
         "agg_lineitem": q_agg_lineitem,
@@ -1363,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join": SQL_SALTED_JOIN,
         "eval_join": SQL_EVAL_JOIN,
         "blocking_quality": SQL_BLOCKING_QUALITY,
+        "cluster_purity": SQL_CLUSTER_PURITY,
         "events_window": SQL_EVENTS_WINDOW,
         "events_json": SQL_EVENTS_JSON,
         "agg_lineitem": SQL_AGG_LINEITEM,

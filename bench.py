@@ -54,6 +54,7 @@ HEADLINE = [
     "salted_join",
     "eval_join",
     "blocking_quality",
+    "cluster_purity",
     "events_window",
     "events_json",
     "agg_lineitem",

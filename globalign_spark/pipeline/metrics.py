@@ -6,7 +6,7 @@ computed with semi/anti joins (never collects pair sets to the driver).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -121,6 +121,61 @@ def blocking_quality(
             / (F.col("n_records") * (F.col("n_records") - F.lit(1)) / F.lit(2)),
             6,
         ).alias("reduction_ratio"),
+    )
+
+
+def cluster_purity(assign: DataFrame, truth) -> DataFrame:
+    """Per-cluster purity table: predicted clusters vs true entity labels.
+
+    ``assign`` is (id, component) as emitted by the clustering stage;
+    ``truth`` is either a (id, tcluster) DataFrame (labels table) or a
+    Column expression computing the true entity from ``assign``'s own
+    columns — pass a Column when the label is a function of the id, so
+    the expensive clustering lineage is not re-executed through a
+    self-join. Output, one row per predicted component:
+
+      n_members         cluster size
+      majority_overlap  members sharing the cluster's dominant true entity
+      n_truth_clusters  distinct true entities merged into this cluster
+      purity            majority_overlap / n_members
+
+    All columns are integer-exact except ``purity`` (one two-integer
+    division per row) — deliberately no global float average, whose
+    summation order would not be reproducible across engines. Global
+    pairwise P/R/F1 lives in :func:`pairwise_prf`; this is the
+    per-cluster debugging view (which clusters merged distinct entities,
+    and how badly).
+    """
+    if isinstance(truth, Column):
+        labeled = assign.select(
+            F.col(assign.columns[1]).alias("component"),
+            truth.alias("tcluster"),
+        )
+    else:
+        a = assign.select(
+            F.col(assign.columns[0]).alias("_id"),
+            F.col(assign.columns[1]).alias("component"),
+        )
+        t = truth.select(
+            F.col(truth.columns[0]).alias("_id"),
+            F.col(truth.columns[1]).alias("tcluster"),
+        )
+        labeled = a.join(t, "_id").select("component", "tcluster")
+    ov = labeled.groupBy("component", "tcluster").agg(
+        F.count("*").alias("ov")
+    )
+    return ov.groupBy("component").agg(
+        F.sum("ov").alias("n_members"),
+        F.max("ov").alias("majority_overlap"),
+        F.count("*").alias("n_truth_clusters"),
+    ).select(
+        "component",
+        "n_members",
+        "majority_overlap",
+        "n_truth_clusters",
+        F.round(F.col("majority_overlap") / F.col("n_members"), 6).alias(
+            "purity"
+        ),
     )
 
 

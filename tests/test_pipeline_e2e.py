@@ -392,3 +392,35 @@ def test_blocking_quality_empty_sides(spark):
     assert row["pair_completeness"] == 0.0
     assert row["pair_quality"] == 1.0
     assert row["reduction_ratio"] == 1.0
+
+
+def test_cluster_purity_hand_checked(spark):
+    """Component 1 = {1,2,3} with truth labels {A,A,B} -> purity 2/3;
+    component 9 = {9} pure. Exercises both the labels-frame and the
+    label-Column forms."""
+    from globalign_spark.pipeline.metrics import cluster_purity
+
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "id long, component long"
+    )
+    truth = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (9, "C")], "id long, t string"
+    )
+    rows = {
+        r["component"]: r
+        for r in cluster_purity(assign, truth).collect()
+    }
+    assert rows[1]["n_members"] == 3
+    assert rows[1]["majority_overlap"] == 2
+    assert rows[1]["n_truth_clusters"] == 2
+    assert rows[1]["purity"] == pytest.approx(0.666667)
+    assert rows[9]["purity"] == 1.0
+
+    # Column form: label = id % 2 -> component 1 members {1,2,3} have
+    # labels {1,0,1} -> majority 2.
+    rows2 = {
+        r["component"]: r
+        for r in cluster_purity(assign, F.col("id") % 2).collect()
+    }
+    assert rows2[1]["majority_overlap"] == 2
+    assert rows2[1]["n_truth_clusters"] == 2
