@@ -1080,6 +1080,64 @@ group by l_returnflag, l_linestatus
 """
 
 
+def q_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — six-table join: the lineitem->orders fact chain
+    with four broadcastable dimensions (customer, supplier, nation,
+    region) and a dim-side filter. Exercises Catalyst join reordering,
+    dimension broadcast, and filter/column pushdown into every scan
+    (plan audited in BENCH/PLANS.md)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_MULTI_JOIN = """
+select n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE as revenue
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+join nation   on s_nationkey = n_nationkey
+join region   on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= '1995-01-01' and o_orderdate < '1996-01-01'
+group by n_name
+"""
+
+
 def q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + per-key top-k window (W4)."""
     o = _t(spark, sf_dir, "orders")
@@ -1372,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "agg_lineitem": q_agg_lineitem,
         "join_topk": q_join_topk,
+        "multi_join": q_multi_join,
     }
 
 
@@ -1407,4 +1466,5 @@ def oracle_sql() -> dict[str, str]:
         "events_json": SQL_EVENTS_JSON,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_topk": SQL_JOIN_TOPK,
+        "multi_join": SQL_MULTI_JOIN,
     }

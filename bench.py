@@ -59,6 +59,7 @@ HEADLINE = [
     "events_json",
     "agg_lineitem",
     "join_topk",
+    "multi_join",
 ]
 
 
