@@ -1138,6 +1138,31 @@ group by n_name
 """
 
 
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow groupBy-agg over the part dimension (with this, every
+    driver-provided table is exercised by at least one oracle query)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_size") <= 30)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+    )
+
+
+SQL_PART_BRAND_STATS = """
+select p_brand, count(*) as n_parts,
+       round(avg(p_retailprice), 2)::DOUBLE as avg_price,
+       max(p_size) as max_size
+from part
+where p_size <= 30
+group by p_brand
+"""
+
+
 def q_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast dim join + per-key top-k window (W4)."""
     o = _t(spark, sf_dir, "orders")
@@ -1431,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem": q_agg_lineitem,
         "join_topk": q_join_topk,
         "multi_join": q_multi_join,
+        "part_brand_stats": q_part_brand_stats,
     }
 
 
@@ -1467,4 +1493,5 @@ def oracle_sql() -> dict[str, str]:
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_topk": SQL_JOIN_TOPK,
         "multi_join": SQL_MULTI_JOIN,
+        "part_brand_stats": SQL_PART_BRAND_STATS,
     }

@@ -60,6 +60,7 @@ HEADLINE = [
     "agg_lineitem",
     "join_topk",
     "multi_join",
+    "part_brand_stats",
 ]
 
 

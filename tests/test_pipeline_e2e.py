@@ -424,3 +424,61 @@ def test_cluster_purity_hand_checked(spark):
     }
     assert rows2[1]["majority_overlap"] == 2
     assert rows2[1]["n_truth_clusters"] == 2
+
+
+def test_metric_ops_vs_bruteforce_random(spark):
+    """blocking_quality and cluster_purity agree with pure-Python
+    brute-force recomputation on randomized inputs (5 seeded draws)."""
+    from collections import Counter
+
+    from globalign_spark.pipeline.metrics import (
+        blocking_quality,
+        cluster_purity,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        n = int(rng.integers(6, 25))
+        ids = list(range(n))
+        # random candidate + truth pair sets (canonical orientation)
+        def rand_pairs(k):
+            out = set()
+            for _ in range(k):
+                a, b = rng.choice(n, size=2, replace=False)
+                out.add((int(min(a, b)), int(max(a, b))))
+            return sorted(out)
+
+        cand = rand_pairs(int(rng.integers(1, 3 * n)))
+        truth = rand_pairs(int(rng.integers(1, 2 * n)))
+        cdf = spark.createDataFrame(cand, "id_1 long, id_2 long")
+        tdf = spark.createDataFrame(truth, "id_1 long, id_2 long")
+        row = blocking_quality(cdf, tdf, n_records=n).first()
+        covered = len(set(cand) & set(truth))
+        assert row["n_cand"] == len(cand)
+        assert row["n_truth"] == len(truth)
+        assert row["covered"] == covered
+        assert row["pair_completeness"] == pytest.approx(
+            round(covered / len(truth), 6)
+        )
+        assert row["reduction_ratio"] == pytest.approx(
+            round(1 - len(cand) / (n * (n - 1) / 2), 6)
+        )
+
+        # random assignment + labels; brute-force purity per component
+        comp = {i: int(rng.integers(0, 4)) for i in ids}
+        lab = {i: int(rng.integers(0, 3)) for i in ids}
+        adf = spark.createDataFrame(
+            [(i, comp[i]) for i in ids], "id long, component long"
+        )
+        ldf = spark.createDataFrame(
+            [(i, lab[i]) for i in ids], "id long, t long"
+        )
+        got = {
+            r["component"]: r for r in cluster_purity(adf, ldf).collect()
+        }
+        for cid in set(comp.values()):
+            members = [i for i in ids if comp[i] == cid]
+            counts = Counter(lab[i] for i in members)
+            assert got[cid]["n_members"] == len(members)
+            assert got[cid]["majority_overlap"] == max(counts.values())
+            assert got[cid]["n_truth_clusters"] == len(counts)
