@@ -274,4 +274,35 @@ def run_pipeline(
             comps.select(F.col("id").alias("id"), "component")
         )
         summary["eval"] = metrics.pairwise_prf(pred, labeled_pairs)
+        # Blocker-stage metrics over the universe the blocker actually
+        # saw. With the exact-dedup prepass, labeled urls project to their
+        # representatives: exact-duplicate truth pairs collapse to
+        # self-pairs and drop out (the prepass finds those, not the
+        # blocker), so pair completeness measures the blocker alone.
+        truth_b = labeled_pairs
+        if rep_map is not None:
+            l0 = labeled_pairs.select(
+                F.col(labeled_pairs.columns[0]).alias("u1"),
+                F.col(labeled_pairs.columns[1]).alias("u2"),
+            )
+            m1 = rep_map.select(
+                F.col("url").alias("u1"), F.col("rep_url").alias("r1")
+            )
+            m2 = rep_map.select(
+                F.col("url").alias("u2"), F.col("rep_url").alias("r2")
+            )
+            truth_b = (
+                l0.join(m1, "u1")
+                .join(m2, "u2")
+                .where(F.col("r1") != F.col("r2"))
+                .select(
+                    F.least("r1", "r2").alias("u1"),
+                    F.greatest("r1", "r2").alias("u2"),
+                )
+            )
+        summary["blocking"] = (
+            metrics.blocking_quality(cand, truth_b, norm.count())
+            .first()
+            .asDict()
+        )
     return summary

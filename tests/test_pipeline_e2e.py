@@ -482,3 +482,14 @@ def test_metric_ops_vs_bruteforce_random(spark):
             assert got[cid]["n_members"] == len(members)
             assert got[cid]["majority_overlap"] == max(counts.values())
             assert got[cid]["n_truth_clusters"] == len(counts)
+
+
+def test_pipeline_blocking_metrics(pipeline_result):
+    """--evaluate also reports blocker-stage metrics. End-to-end recall is
+    bounded above by blocker pair completeness (on the rep universe), and
+    the blocker must be far from all-pairs."""
+    summary, _, _ = pipeline_result
+    bq = summary["blocking"]
+    assert bq["n_cand"] > 0
+    assert bq["pair_completeness"] >= 0.98, bq
+    assert bq["reduction_ratio"] >= 0.9, bq
