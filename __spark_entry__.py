@@ -1007,6 +1007,18 @@ join (select source, count(*) as n_docs_in_source
 """
 
 
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven variant of q_salted_join: salt factors from the key
+    histogram, hot keys only (blocking.skew_salted_join). Same logical
+    result, so the same SQL oracle; a low target forces real splitting
+    at sf0.01."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs_in_source"))
+    out = blocking.skew_salted_join(d, counts, "source",
+                                    target_rows_per_task=50)
+    return out.select("doc_id", "source", "n_docs_in_source")
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
@@ -1448,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
+        "skew_salted_join": q_skew_salted_join,
         "eval_join": q_eval_join,
         "blocking_quality": q_blocking_quality,
         "cluster_purity": q_cluster_purity,
@@ -1485,6 +1498,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,
+        "skew_salted_join": SQL_SALTED_JOIN,
         "eval_join": SQL_EVAL_JOIN,
         "blocking_quality": SQL_BLOCKING_QUALITY,
         "cluster_purity": SQL_CLUSTER_PURITY,

@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_near_dup",
     "sorted_neighborhood",
     "salted_join",
+    "skew_salted_join",
     "eval_join",
     "blocking_quality",
     "cluster_purity",

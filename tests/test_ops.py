@@ -377,3 +377,35 @@ def test_incremental_equals_batch_under_cap_pressure(spark):
         for r in incremental_candidates(flagged, bucket_cap=cap).collect()
     }
     assert incr == {p for p in batch if p[0] % 4 == 0 or p[1] % 4 == 0}
+
+
+def test_skew_salted_join_equals_plain_join(spark):
+    """Adaptive salting is a pure physical rewrite: result multiset equals
+    the plain equi-join on a Zipfian-skewed key (one key holds half the
+    rows and gets factor > 1; cold keys pass through with salt 0)."""
+    from globalign_spark.pipeline.blocking import skew_salted_join
+
+    rng = np.random.default_rng(7)
+    keys = ["hot"] * 500 + [f"k{i}" for i in rng.integers(0, 50, 500)]
+    big = spark.createDataFrame(
+        [(k, int(i)) for i, k in enumerate(keys)], "key string, v long"
+    )
+    small = spark.createDataFrame(
+        [("hot", 1), ("k3", 2), ("k7", 3), ("missing", 4)],
+        "key string, w long",
+    )
+    got = skew_salted_join(big, small, "key", target_rows_per_task=100)
+    want = big.join(small, "key")
+    assert got.count() == want.count()
+    assert (
+        sorted(map(tuple, got.select("key", "v", "w").collect()))
+        == sorted(map(tuple, want.select("key", "v", "w").collect()))
+    )
+    # the hot key really was split: >1 distinct salt observed
+    from pyspark.sql import functions as F2
+    hot_salts = (
+        big.where(F2.col("key") == "hot")
+        .withColumn("_s", F2.pmod(F2.xxhash64(*big.columns), F2.lit(5)))
+        .select("_s").distinct().count()
+    )
+    assert hot_salts > 1
