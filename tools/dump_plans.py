@@ -24,7 +24,7 @@ QUERIES = [
     "simhash_near_pairs", "ngram_jaccard", "fingerprint_overlap",
     "ann_topk", "ann_lsh", "sorted_neighborhood", "events_window",
     "agg_lineitem", "join_topk", "corpus_curation", "er_incremental",
-    "blocking_quality", "cluster_purity", "multi_join",
+    "blocking_quality", "cluster_purity", "multi_join", "skew_salted_join",
 ]
 
 
