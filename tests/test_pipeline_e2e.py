@@ -485,9 +485,11 @@ def test_metric_ops_vs_bruteforce_random(spark):
 
 
 def test_pipeline_blocking_metrics(pipeline_result):
-    """--evaluate also reports blocker-stage metrics. End-to-end recall is
-    bounded above by blocker pair completeness (on the rep universe), and
-    the blocker must be far from all-pairs."""
+    """--evaluate also reports blocker-stage metrics. NB: end-to-end recall
+    can EXCEED blocker pair completeness — connected components recovers a
+    blocker-missed truth pair (a,c) transitively through (a,b),(b,c) —
+    measured at 5k entities: recall 0.9921 vs blocker PC 0.9702. The gates
+    here: the blocker finds nearly all truth AND stays far from all-pairs."""
     summary, _, _ = pipeline_result
     bq = summary["blocking"]
     assert bq["n_cand"] > 0
