@@ -1241,7 +1241,16 @@ having count(*) >= 5
 def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled-pairs evaluation join (J4): predicted near-dup pairs (3-gram
     Jaccard >= 0.5 within source) vs constructed ground truth (the injected
-    variant pairs), via left-semi / left-anti joins -> P/R/F1 row."""
+    variant pairs), via left-semi / left-anti joins -> P/R/F1 row.
+
+    100x-readiness note (applies to this query, q_blocking_quality and
+    q_cluster_purity): the oracle harness requires each query to be
+    SELF-CONTAINED, so these metric queries re-derive their predictions
+    inside the query. That is a harness constraint, not the deployment
+    shape — in production, metric evaluation reads the CHECKPOINTED
+    pairs/components tables written by pipeline.orchestrator.run_pipeline
+    (--evaluate does exactly this: metrics are computed from the stage-2/3
+    checkpoint parquet, never by re-executing ER lineage)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     t1 = d.where(F.col("doc_id") % 5 == 0).select(
         F.col("doc_id").alias("u1"), (F.col("doc_id") + 100000).alias("u2")

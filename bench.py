@@ -354,10 +354,20 @@ def scaling_main(args) -> dict:
         ),
         "pass_4_to_16": effs["banded_4_to_16"] >= 0.8,
         "pass_8_to_32_raw": effs["banded_8_to_32"] >= 0.8,
+        # The vs-ceiling arm carries a RAW FLOOR (>= 0.7): the ceiling
+        # probe measures only hardware/neighbor contention (zero Spark
+        # overhead), so without a floor a genuine framework scaling
+        # regression could "pass" purely because the box's ceiling was
+        # low in that window. A real regression (e.g. a serial driver
+        # stage growing with parallelism) drags raw well under 0.7
+        # regardless of neighbor load; measured quiet-window raw here is
+        # 0.82-0.83 and load-depressed windows bottom out ~0.73.
         "pass_8_to_32_vs_ceiling": (
             rels["banded_8_to_32"] is not None
             and rels["banded_8_to_32"] >= 0.95
+            and effs["banded_8_to_32"] >= 0.7
         ),
+        "vs_ceiling_raw_floor": 0.7,
         "note": (
             "The machine-ceiling probe is a zero-shared-memory-traffic "
             "workload (L1-resident matmul): its 8->32 efficiency is the "

@@ -324,6 +324,7 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 10_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, blocked on the high
     16 bits (docs differing only in low bits collide; standard multi-probe
@@ -333,18 +334,27 @@ def simhash_near_pairs(
     16-bit block goes quadratic; blocks over ``bucket_cap`` members are
     excluded from the self-join (same skew discipline as
     ``dedup_minhash_lsh``) and their loss is never silent — counted lineage
-    is available via ``simhash_block_stats``.
+    is available via ``simhash_block_stats``. NOTE: ``bucket_cap`` defaults
+    to 10_000 (was uncapped before round 2) — callers wanting uncapped
+    all-pairs semantics on degenerate corpora must pass a larger cap
+    explicitly; dropped blocks are countable via ``simhash_block_stats``.
     """
     # The upstream simhash column is an interpreted array aggregate (the
     # costliest expression feeding this op) and `blocked` is read by four
     # plan branches (block sizing + both join sides); per the measured
     # materialization rule (see dedup_minhash_lsh docstring) an expensive
     # subtree with a narrow output and >=4 readers is checkpointed once.
+    # eager=False keeps frame CONSTRUCTION job-free (the checkpoint runs
+    # at the first action, then is reused by every branch); pass
+    # materialize=False to keep full lineage (e.g. under dynamic
+    # allocation, where checkpointed blocks die with their executor).
     blocked = with_sim.select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright("simhash", 16).alias("blk"),
-    ).localCheckpoint()
+    )
+    if materialize:
+        blocked = blocked.localCheckpoint(eager=False)
     sizes = blocked.groupBy("blk").agg(F.count("*").alias("bsz"))
     ok = blocked.join(sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"), "blk")
     a = ok.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")

@@ -80,7 +80,13 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank): exact top-k neighbors per
-    query (self-matches excluded). The query side is broadcast."""
+    query (self-matches excluded). The query side is broadcast.
+
+    This is the EXACT path, O(|corpus| x |queries|): viable only while the
+    query batch is small (recall oracle, spot checks). At 10^12-row corpus
+    scale, any real query load must go through the LSH/IVF paths below —
+    this function exists as their correctness baseline, not as a
+    production route."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )

@@ -82,13 +82,19 @@ def extract_text(
     for ent, ch in _NAMED:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     if entities == "full":
-        # Residual &name;/&#N;/&#xN; after the named pass -> full resolver.
-        # NOTE the screen runs on the PRE-named-pass text? No: html.unescape
-        # on the post-named text would re-unescape what &amp; produced. The
-        # full path therefore re-derives from the stripped original.
+        # Residual &name;/&#N;/&#xN; AFTER the named pass -> full resolver.
+        # The screen runs on the post-named text s (so a row whose only
+        # entities are the five common ones never crosses into Python),
+        # but the resolver re-derives from the stripped ORIGINAL: running
+        # html.unescape on s would re-unescape what &amp; produced
+        # (&amp;lt; -> &lt; must stay literal). Safe because the named
+        # pass only ever rewrites the five exact `&x;` literals — it can
+        # neither create nor destroy any OTHER entity token, and on the
+        # one token it can create (&amp;lt; -> &lt;) single-pass
+        # html.unescape(raw) agrees with the named pass byte-for-byte.
         raw = strip_tags(F.decode(html, "UTF-8"))
         s = F.when(
-            raw.rlike("&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);"),
+            s.rlike("&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);"),
             _unescape_full(raw),
         ).otherwise(s)
     if normalize_ws:

@@ -259,11 +259,25 @@ def score_pairs_with_fallback(
     is correct for any caller thresholding at >= sim_threshold since their
     true similarity is certifiably < sim_threshold).
     """
+    # A NULL text must not fail BOTH branch predicates (NULL <= cap and
+    # NULL > cap are both NULL) and vanish — that would break the
+    # all-pairs contract above. NULL-text pairs are routed explicitly:
+    # an absent text matches nothing, so they are emitted with
+    # similarity 0.0, method 'gotoh' (degenerate alignment), never
+    # crossing into the scorer UDF (which requires str inputs).
+    has_null = F.col(text_1).isNull() | F.col(text_2).isNull()
+    nulls = pairs.where(has_null).select(
+        F.col(id_1),
+        F.col(id_2),
+        F.lit("gotoh").alias("method"),
+        F.lit(0.0).alias("similarity"),
+    )
     cells = (
         F.length(F.col(text_1)).cast("long") * F.length(F.col(text_2)).cast("long")
     )
-    small = pairs.where(cells <= cell_cap)
-    big = pairs.where(cells > cell_cap)
+    nn = pairs.where(~has_null)
+    small = nn.where(cells <= cell_cap)
+    big = nn.where(cells > cell_cap)
 
     scored = score_pairs(
         small,
@@ -304,7 +318,7 @@ def score_pairs_with_fallback(
             "similarity"
         ),
     )
-    return gotoh.unionByName(shingle)
+    return gotoh.unionByName(shingle).unionByName(nulls)
 
 
 def with_similarity(scored: DataFrame) -> DataFrame:

@@ -179,6 +179,10 @@ def test_extractor_adversarial_html(spark):
         (b"<!-- <p>gone</p> -->kept", "named", False, "kept"),
         (b"<div>  a\n\n b\t</div>", "named", True, "a b"),
         (b"<p>plain &lt;tag&gt;</p>", "full", False, "plain <tag>"),
+        # named-only entities in full mode: resolved by the codegen fast
+        # path; the post-named screen must not re-route them to Python
+        (b"<p>x &amp; y</p>", "full", False, "x & y"),
+        (b"<p>a &amp;lt; b</p>", "full", False, "a &lt; b"),
     ]
     df = spark.createDataFrame(
         [(i, h, m, w, e) for i, (h, m, w, e) in enumerate(cases)],

@@ -111,3 +111,24 @@ def test_similarity_on_fixture_pages(spark):
     assert min(same) > 0.75
     assert max(diff) < 0.6
     pages.unpersist()
+
+
+def test_fallback_null_text_not_dropped(spark):
+    """ADVICE r2: a NULL text_1/text_2 must NOT vanish from
+    score_pairs_with_fallback — the all-pairs contract routes it through
+    the gotoh branch with similarity 0.0."""
+    from globalign_spark.pipeline.scoring import score_pairs_with_fallback
+
+    params = unit_cost_params("AB")
+    df = spark.createDataFrame(
+        [(0, 10, None, "AB"), (1, 11, "AB", None), (2, 12, None, None),
+         (3, 13, "AB", "AB"), (4, 14, "A" * 200, "B" * 200)],
+        "id_1 long, id_2 long, text_1 string, text_2 string",
+    )
+    rows = {r.id_1: r for r in
+            score_pairs_with_fallback(df, params, cell_cap=10_000).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}, "no pair may be dropped"
+    for i in (0, 1, 2):
+        assert rows[i].method == "gotoh" and rows[i].similarity == 0.0
+    assert rows[3].similarity == 1.0
+    assert rows[4].method == "shingle"
