@@ -819,20 +819,23 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-flat with a TRAINED coarse quantizer (sample-based spherical
-    k-means on the driver, FAISS-style; assignment stays distributed).
-    No oracle_sql entry: trained centroids are data-dependent floats whose
-    means depend on summation order — not bit-reproducible in SQL. The
-    driver records a rows-only check; recall vs exact brute force is
-    asserted in tests/test_ops.py and reported in BENCH/BASELINE.md."""
+def q_ann_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat assignment/probe over a TRAINED-then-FROZEN coarse
+    quantizer (VERDICT r2 item 3: train/assign split). Training (driver
+    sample spherical k-means, ops.similarity.kmeans_centroids) is float-
+    summation-order dependent and has no bit-exact SQL twin — it is gated
+    by the recall pytest
+    (tests/test_ops.py::test_ivf_trained_beats_stride_on_clustered_data)
+    and its output is committed as 6-dp literals in ops/ivf_frozen.py,
+    the FAISS deployment shape (quantizer = shipped constants). The
+    assignment/probe stage here is therefore fully deterministic and
+    carries a complete DuckDB twin over the same frozen literals."""
+    from globalign_spark.ops.ivf_frozen import FROZEN_KMEANS_SF001
+
     emb = _t(spark, sf_dir, "embeddings")
-    cents = similarity.kmeans_centroids(
-        emb, n_centroids=20, iters=5, sample_cap=100_000
-    )
     out = similarity.ivf_topk(
         emb, emb.where(F.col("vec_id") < ANN_N_QUERIES), k=ANN_K,
-        nprobe=IVF_NPROBE, centroids=cents,
+        nprobe=IVF_NPROBE, centroids=[list(c) for c in FROZEN_KMEANS_SF001],
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -848,6 +851,63 @@ with cents as (
   from embeddings
   where vec_id % {IVF_STRIDE} = 0
     and vec_id < {IVF_STRIDE} * {IVF_MAX_CENTROIDS}
+),
+c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
+assign as (
+  select neighbor_id, cv, cid from (
+    select c.neighbor_id, c.cv, cents.cid,
+           row_number() over (
+             partition by c.neighbor_id
+             order by {_SQL_COS.format(a='c.cv', b='cents.centv')} desc, cents.cid
+           ) as rn
+    from c cross join cents
+  ) where rn = 1
+),
+q as (select vec_id as query_id, embedding::DOUBLE[] as qv
+      from embeddings where vec_id < {ANN_N_QUERIES}),
+probes as (
+  select query_id, qv, cid from (
+    select q.query_id, q.qv, cents.cid,
+           row_number() over (
+             partition by q.query_id
+             order by {_SQL_COS.format(a='q.qv', b='cents.centv')} desc, cents.cid
+           ) as rn
+    from q cross join cents
+  ) where rn <= {IVF_NPROBE}
+),
+s as (
+  select p.query_id, a.neighbor_id,
+         {_SQL_COS.format(a='p.qv', b='a.cv')} as cos_sim
+  from assign a join probes p on a.cid = p.cid
+  where a.neighbor_id <> p.query_id
+),
+r as (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, neighbor_id) as rank
+  from s
+)
+select query_id, neighbor_id, cos_sim, rank::BIGINT as rank
+from r where rank <= {ANN_K}
+"""
+
+
+def _frozen_cent_rows() -> str:
+    """The frozen quantizer as a SQL VALUES list — the literals are the
+    repr() of the exact Python floats the Spark side broadcasts, so both
+    engines parse the same decimal string to the same double."""
+    from globalign_spark.ops.ivf_frozen import FROZEN_KMEANS_SF001
+
+    return ",\n    ".join(
+        f"({i}, [{', '.join(repr(x) for x in v)}]::DOUBLE[])"
+        for i, v in enumerate(FROZEN_KMEANS_SF001)
+    )
+
+
+SQL_ANN_IVF_TRAINED_ASSIGN = f"""
+with cents as (
+  select cid, centv from (values
+    {_frozen_cent_rows()}
+  ) as t(cid, centv)
 ),
 c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv from embeddings),
 assign as (
@@ -1465,7 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_ivf_trained_assign": q_ann_ivf_trained_assign,
         "embedding_near_dup": q_embedding_near_dup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
@@ -1504,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,
         "ann_ivf": SQL_ANN_IVF,
+        "ann_ivf_trained_assign": SQL_ANN_IVF_TRAINED_ASSIGN,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,

@@ -48,7 +48,7 @@ HEADLINE = [
     "ann_topk",
     "ann_lsh",
     "ann_ivf",
-    "ann_ivf_trained",
+    "ann_ivf_trained_assign",
     "embedding_near_dup",
     "sorted_neighborhood",
     "salted_join",
