@@ -139,6 +139,39 @@ def bench_main(args) -> dict:
     return out
 
 
+def isolate_main(args) -> dict:
+    """Per-query fresh-session mode: each query runs in its own child
+    process (own JVM, own SparkSession), so its timing reflects the query
+    rather than session history. ~8 s session startup per query is paid by
+    the harness, not the measurement (bench_main's warm-up query runs
+    inside each child before timing)."""
+    names = args.queries.split(",") if args.queries else HEADLINE
+    times: dict[str, float] = {}
+    for name in names:
+        cmd = [
+            sys.executable, str(REPO / "bench.py"),
+            "--sf-dir", args.sf_dir, "--queries", name,
+        ]
+        if args.master:
+            cmd += ["--master", args.master]
+        print(f"# isolate: {name} ...", file=sys.stderr, flush=True)
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, check=True
+        ).stdout
+        child = json.loads(out.strip().splitlines()[-1])
+        times[name] = child["queries"][name]
+        print(f"# isolate {name}: {times[name]}s", file=sys.stderr,
+              flush=True)
+    return {
+        "metric": "per-query wall time, fresh session each (isolated)",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_of(args.sf_dir),
+        "isolated": True,
+    }
+
+
 def one_scaling_run(args) -> dict:
     """Child process: score all candidate pairs, report median throughput.
 
@@ -420,6 +453,12 @@ def main():
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--one-scaling-run", action="store_true")
     p.add_argument("--banded", action="store_true")
+    # Run every query in its OWN subprocess + SparkSession (fresh JVM).
+    # The shared-session headline number stays the driver-facing metric,
+    # but paired fresh-session numbers are the only ones comparable
+    # query-by-query across rounds: a 34-query single JVM session degrades
+    # late queries 2-4x (measured r1/r2; clearCache+gc does not cure it).
+    p.add_argument("--isolate", action="store_true")
     # Per-cycle paired ratios want many short cycles, not many reps inside
     # one long leg: drift cancels across a cycle, not within a leg.
     p.add_argument("--reps", type=int, default=1)
@@ -429,6 +468,8 @@ def main():
         print(json.dumps(one_scaling_run(args)))
     elif args.scaling:
         print(json.dumps(scaling_main(args)))
+    elif args.isolate:
+        print(json.dumps(isolate_main(args)))
     else:
         print(json.dumps(bench_main(args)))
 
