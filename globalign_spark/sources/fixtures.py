@@ -102,7 +102,11 @@ def _entity_rows(seed: int, e: int, n_hosts: int, min_len: int, max_len: int):
     r = rng.random()
     n_var = 1 if r < 0.6 else int(rng.integers(2, 6))
     # Zipf-ish host skew: ~20% of entities land on host0.
-    host_id = 0 if rng.random() < 0.2 else int(rng.integers(1, n_hosts))
+    host_id = (
+        0
+        if n_hosts <= 1 or rng.random() < 0.2
+        else int(rng.integers(1, n_hosts))
+    )
     rows = []
     for v in range(n_var):
         vr = _rng(seed, e, v + 1)
