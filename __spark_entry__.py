@@ -669,12 +669,12 @@ r as (
   from f
 )
 select doc_id, n_tokens::BIGINT as n_tokens,
-       round(stop_ratio, 6)::DOUBLE as stopword_ratio,
-       round(least(greatest(
+       floor(stop_ratio * 1e6 + 0.5) / 1e6 as stopword_ratio,
+       floor(least(greatest(
            0.4 * least(n_tokens / 100.0, 1.0)
          + 0.3 * least(stop_ratio * 5.0, 1.0)
          + 0.3 * greatest(0.0, 1.0 - abs(mtl - 5.0) / 5.0)
-         - punct_ratio, 0.0), 1.0), 6)::DOUBLE as quality_score
+         - punct_ratio, 0.0), 1.0) * 1e6 + 0.5) / 1e6 as quality_score
 from r
 """
 
@@ -738,11 +738,11 @@ qr as (
 ),
 qual as (
   select doc_id, n_tokens,
-         round(least(greatest(
+         floor(least(greatest(
              0.4 * least(n_tokens / 100.0, 1.0)
            + 0.3 * least(stop_ratio * 5.0, 1.0)
            + 0.3 * greatest(0.0, 1.0 - abs(mtl - 5.0) / 5.0)
-           - punct_ratio, 0.0), 1.0), 6)::DOUBLE as quality_score
+           - punct_ratio, 0.0), 1.0) * 1e6 + 0.5) / 1e6 as quality_score
   from qr
 ),
 filt as (

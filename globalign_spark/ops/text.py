@@ -79,10 +79,20 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         - f["punct_ratio"]
     )
-    score = F.round(F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0)), 6)
+    # 6-dp rounding via floor(x*1e6 + 0.5)/1e6, NOT F.round: Spark rounds
+    # the exact BigDecimal expansion of the double (HALF_UP) while DuckDB
+    # rounds through a float multiply, and the two disagree on half-ulp
+    # ties (seen at gen-sf0.1: 0.553187 vs 0.553188). The floor form is a
+    # pure float procedure both engines compute bit-identically; valid
+    # here because the operands are clamped >= 0.
+    clamped = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+    score = F.floor(clamped * 1e6 + F.lit(0.5)) / 1e6
     return (
         df.withColumn("n_tokens", f["n_tokens"])
-        .withColumn("stopword_ratio", F.round(f["stopword_ratio"], 6))
+        .withColumn(
+            "stopword_ratio",
+            F.floor(f["stopword_ratio"] * 1e6 + F.lit(0.5)) / 1e6,
+        )
         .withColumn("quality_score", score)
     )
 
