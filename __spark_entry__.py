@@ -806,7 +806,17 @@ from r where rank <= {ANN_K}
 # the same operator concentrates neighbors into few lists.
 IVF_STRIDE = 50
 IVF_NPROBE = 4
-IVF_MAX_CENTROIDS = 4096
+# 40 lists: with stride 50 the centroid id range is capped at 2000, so
+# the DEMO stride quantizer's list count FREEZES at 40 once the corpus
+# passes 2000 vectors and assignment/probe cost turns linear in corpus
+# size (measured exp 1.98 at gen-sf0.1 -> sf1 under the old 4096 cap,
+# which let centroids grow with the corpus: n x n/stride = quadratic).
+# Unchanged at the sf0.01 driver gate (10 centroids either way). At
+# deploy, list count is a trained constant (ann_ivf_trained_assign,
+# measured exp 0.48) — growing nlist ~ sqrt(n) FAISS-style is a quality
+# knob that deliberately costs n^1.5 assignment; the engine-shape demo
+# keeps it frozen.
+IVF_MAX_CENTROIDS = 40
 
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

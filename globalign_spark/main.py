@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-perm", type=int, default=64)
     p.add_argument("--num-bands", type=int, default=16)
     p.add_argument("--bucket-cap", type=int, default=200)
+    p.add_argument("--over-cap-window", type=int, default=8,
+                   help="sorted-neighborhood window for over-cap LSH buckets"
+                        " (0 = hard-drop them, pre-round-3 semantics)")
     p.add_argument("--sn-window", type=int, default=6,
                    help="sorted-neighborhood window (both text orders)")
     p.add_argument("--text-from-html", action="store_true",
@@ -92,6 +95,7 @@ def main(argv=None) -> int:
         num_perm=args.num_perm,
         num_bands=args.num_bands,
         bucket_cap=args.bucket_cap,
+        over_cap_window=args.over_cap_window,
         sn_window=args.sn_window,
         similarity_threshold=args.similarity_threshold,
         text_from_html=args.text_from_html,

@@ -48,6 +48,12 @@ class PipelineConfig:
     # the sorted-neighborhood passes (linear cost, below).
     num_bands: int = 16
     bucket_cap: int = 200
+    # Over-cap LSH buckets are refined with a within-bucket
+    # sorted-neighborhood pass (window below) instead of dropped: at the
+    # 50k-entity scale-up run, drops cost 4 points of recall (F1 0.977)
+    # because generic-shingle buckets grow with the corpus and carry true
+    # pairs. 0 = hard drop (pre-round-3 semantics).
+    over_cap_window: int = 8
     sn_window: int = 6
     similarity_threshold: float = 0.8
     text_from_html: bool = False
@@ -71,6 +77,7 @@ class PipelineConfig:
             "num_perm": self.num_perm,
             "num_bands": self.num_bands,
             "bucket_cap": self.bucket_cap,
+            "over_cap_window": self.over_cap_window,
             "sn_window": self.sn_window,
             "similarity_threshold": self.similarity_threshold,
             "text_from_html": self.text_from_html,
@@ -182,6 +189,7 @@ def run_pipeline(
             num_perm=cfg.num_perm,
             num_bands=cfg.num_bands,
             bucket_cap=cfg.bucket_cap,
+            over_cap_window=cfg.over_cap_window,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",

@@ -88,13 +88,19 @@ def gen_documents(out: Path, sf: float) -> None:
 
 def gen_embeddings(out: Path, sf: float, dim: int = 64) -> None:
     n = int(round(20_000 * sf))
+    # label cardinality scales with the corpus (driver sf0.1 has 10 labels
+    # over 2000 vecs = ~200/label): within-label ops (embedding_near_dup)
+    # are quadratic in BLOCK size by contract, so a fixed label count at
+    # 10x rows would measure the fixture (10x fatter blocks -> 100x
+    # pairs), not the engine — same argument as documents.source above.
+    n_labels = max(10, int(round(100 * sf)))
     g = rng(2)
     X = (g.random((n, dim), dtype=np.float32) - 0.5) * 0.75
     tbl = pa.table(
         {
             "vec_id": pa.array(np.arange(n), pa.int64()),
             "embedding": pa.array(list(X), pa.list_(pa.float32())),
-            "label": pa.array(g.integers(0, 10, n).astype(np.int32)),
+            "label": pa.array(g.integers(0, n_labels, n).astype(np.int32)),
         }
     )
     _write(out, "embeddings", tbl)
