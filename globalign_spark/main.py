@@ -48,6 +48,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--over-cap-window", type=int, default=8,
                    help="sorted-neighborhood window for over-cap LSH buckets"
                         " (0 = hard-drop them, pre-round-3 semantics)")
+    p.add_argument("--est-jaccard-floor", type=float, default=0.0,
+                   help="drop LSH candidate pairs whose MinHash-estimated"
+                        " Jaccard is below this before alignment (0 = off)")
     p.add_argument("--sn-window", type=int, default=6,
                    help="sorted-neighborhood window (both text orders)")
     p.add_argument("--text-from-html", action="store_true",
@@ -96,6 +99,7 @@ def main(argv=None) -> int:
         num_bands=args.num_bands,
         bucket_cap=args.bucket_cap,
         over_cap_window=args.over_cap_window,
+        est_jaccard_floor=args.est_jaccard_floor,
         sn_window=args.sn_window,
         similarity_threshold=args.similarity_threshold,
         text_from_html=args.text_from_html,

@@ -54,6 +54,10 @@ class PipelineConfig:
     # because generic-shingle buckets grow with the corpus and carry true
     # pairs. 0 = hard drop (pre-round-3 semantics).
     over_cap_window: int = 8
+    # Signature screen between LSH bucketing and alignment: pairs whose
+    # MinHash-estimated Jaccard is under the floor never reach the DP
+    # kernel (drops counted in stats, never silent). 0 = no screen.
+    est_jaccard_floor: float = 0.0
     sn_window: int = 6
     similarity_threshold: float = 0.8
     text_from_html: bool = False
@@ -78,6 +82,7 @@ class PipelineConfig:
             "num_bands": self.num_bands,
             "bucket_cap": self.bucket_cap,
             "over_cap_window": self.over_cap_window,
+            "est_jaccard_floor": self.est_jaccard_floor,
             "sn_window": self.sn_window,
             "similarity_threshold": self.similarity_threshold,
             "text_from_html": self.text_from_html,
@@ -190,6 +195,7 @@ def run_pipeline(
             num_bands=cfg.num_bands,
             bucket_cap=cfg.bucket_cap,
             over_cap_window=cfg.over_cap_window,
+            est_jaccard_floor=cfg.est_jaccard_floor,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",

@@ -565,3 +565,40 @@ def test_skew_guard_fire_drill(spark, tmp_path):
     top = bc.orderBy(F.desc("count")).first()
     n_boiler = boiler_urls.count()
     assert top["count"] >= 0.95 * n_boiler, (top, n_boiler)
+
+
+def test_lsh_signature_screen_counts_drops(spark):
+    """est_jaccard_floor screens LSH candidate pairs by signature-estimated
+    Jaccard BEFORE the alignment stage, and the drops are counted in stats
+    (never silent). A prohibitive floor must empty the non-identical pairs;
+    floor=0 must keep them and report n_screened_out = 0."""
+    from globalign_spark.pipeline import blocking
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [
+        ("u1", base * 6),
+        ("u2", base * 6 + "tail"),          # near-identical to u1
+        ("u3", base * 6 + "other ending"),  # near-identical to u1/u2
+    ]
+    df = spark.createDataFrame(rows, ["url", "norm_text"])
+
+    open_pairs, open_stats = blocking.lsh_candidates(
+        df, bucket_cap=50, est_jaccard_floor=0.0
+    )
+    n_open = open_pairs.count()
+    assert n_open >= 1
+    srow = open_stats.collect()[0].asDict()
+    assert srow["n_screened_out"] == 0, srow
+
+    shut_pairs, shut_stats = blocking.lsh_candidates(
+        df, bucket_cap=50, est_jaccard_floor=1.1
+    )
+    assert shut_pairs.count() == 0
+    srow = shut_stats.collect()[0].asDict()
+    assert srow["n_screened_out"] == n_open, (srow, n_open)
+
+    # a permissive floor keeps the near-identical pairs (est_j ~ 0.9+)
+    keep_pairs, _ = blocking.lsh_candidates(
+        df, bucket_cap=50, est_jaccard_floor=0.5
+    )
+    assert keep_pairs.count() == n_open
