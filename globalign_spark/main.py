@@ -42,13 +42,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--master", default=None)
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--similarity-threshold", type=float, default=0.8)
-    p.add_argument("--num-perm", type=int, default=64)
-    p.add_argument("--num-bands", type=int, default=16)
+    p.add_argument("--num-perm", type=int, default=126)
+    p.add_argument("--num-bands", type=int, default=42)
     p.add_argument("--bucket-cap", type=int, default=200)
     p.add_argument("--over-cap-window", type=int, default=8,
                    help="sorted-neighborhood window for over-cap LSH buckets"
                         " (0 = hard-drop them, pre-round-3 semantics)")
-    p.add_argument("--est-jaccard-floor", type=float, default=0.0,
+    p.add_argument("--est-jaccard-floor", type=float, default=0.25,
                    help="drop LSH candidate pairs whose MinHash-estimated"
                         " Jaccard is below this before alignment (0 = off)")
     p.add_argument("--sn-window", type=int, default=6,

@@ -39,14 +39,17 @@ from . import blocking, clustering, metrics, normalize, scoring
 class PipelineConfig:
     warehouse: str
     shingle_k: int = 5
-    num_perm: int = 64
-    # 16 bands x 4 rows keeps LSH precision-oriented: measured on the
-    # fixture corpus, truth-pair and junk-pair shingle-Jaccard overlap at
-    # the 1% tail (truth p1 = 0.22 vs junk p95 = 0.215 at k=5), so any
-    # banding permissive enough for that tail floods the scorer with junk
-    # (32x2 produced 15x the candidates). The tail is instead covered by
-    # the sorted-neighborhood passes (linear cost, below).
-    num_bands: int = 16
+    num_perm: int = 126
+    # 42 bands x 3 rows is the recall-bearing banding: measured on the
+    # 50k-entity corpus, base-variant truth pairs bottom out at Jaccard
+    # ~0.42 (p5), where 16x4 banding catches an edge with only p~0.41 —
+    # that cost 4 points of pairwise recall (F1 0.977 vs the 0.99 gate).
+    # 42x3 lifts the per-edge catch to ~0.96 (F1 0.9982). The collision
+    # flood this admits on shingle-dense corpora (5.8x candidates) is cut
+    # back by the signature screen below (44.5M -> 9.5M scored pairs,
+    # F1 0.9981, scoring stage 3x faster); 2-row banding remains out of
+    # reach (junk collisions at background Jaccard ~0.17 go p~0.62).
+    num_bands: int = 42
     bucket_cap: int = 200
     # Over-cap LSH buckets are refined with a within-bucket
     # sorted-neighborhood pass (window below) instead of dropped: at the
@@ -57,7 +60,10 @@ class PipelineConfig:
     # Signature screen between LSH bucketing and alignment: pairs whose
     # MinHash-estimated Jaccard is under the floor never reach the DP
     # kernel (drops counted in stats, never silent). 0 = no screen.
-    est_jaccard_floor: float = 0.0
+    # 0.25 sits between the weakest rescued truth pairs (variant-variant
+    # p25 = 0.34, base-variant p5 = 0.42) and the background (p95 = 0.23);
+    # measured at 50k entities it keeps F1 at 0.9981 vs 0.9982 unscreened.
+    est_jaccard_floor: float = 0.25
     sn_window: int = 6
     similarity_threshold: float = 0.8
     text_from_html: bool = False
