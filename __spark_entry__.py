@@ -784,9 +784,9 @@ c as (select vec_id as neighbor_id, embedding::DOUBLE[] as cv
       from embeddings),
 s as (
   select query_id, neighbor_id,
-         round(list_dot_product(qv, cv)
+         floor((list_dot_product(qv, cv)
                / (sqrt(list_dot_product(qv, qv))
-                  * sqrt(list_dot_product(cv, cv))), 6)::DOUBLE as cos_sim
+                  * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6::DOUBLE as cos_sim
   from q, c where neighbor_id <> query_id
 ),
 r as (
@@ -850,10 +850,13 @@ def q_ann_ivf_trained_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+# floor(x*1e6+0.5)/1e6, not round(x,6): identical float procedure to the
+# Spark side (ops/similarity.round6), immune to the engines' half-ulp
+# rounding divergence (see quality_score incident, ops/text.py).
 _SQL_COS = (
-    "round(list_dot_product({a}, {b})"
+    "floor((list_dot_product({a}, {b})"
     " / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b}))), 6)::DOUBLE"
+    " * sqrt(list_dot_product({b}, {b})))) * 1e6 + 0.5) / 1e6"
 )
 SQL_ANN_IVF = f"""
 with cents as (
@@ -1000,9 +1003,9 @@ probes as (
 ),
 s as (
   select distinct query_id, neighbor_id,
-         round(list_dot_product(qv, cv)
+         floor((list_dot_product(qv, cv)
                / (sqrt(list_dot_product(qv, qv))
-                  * sqrt(list_dot_product(cv, cv))), 6)::DOUBLE as cos_sim
+                  * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5) / 1e6::DOUBLE as cos_sim
   from c join probes using (bucket)
   where neighbor_id <> query_id
 ),
@@ -1025,13 +1028,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMBEDDING_NEAR_DUP = """
 with g as (select label, vec_id, embedding::DOUBLE[] as v from embeddings)
 select a.vec_id as id_1, b.vec_id as id_2,
-       round(list_dot_product(a.v, b.v)
+       floor((list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
-                * sqrt(list_dot_product(b.v, b.v))), 6)::DOUBLE as cos_sim
+                * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6::DOUBLE as cos_sim
 from g a join g b on a.label = b.label and a.vec_id < b.vec_id
-where round(list_dot_product(a.v, b.v)
+where floor((list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
-               * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.25
+               * sqrt(list_dot_product(b.v, b.v)))) * 1e6 + 0.5) / 1e6 >= 0.25
 """
 
 

@@ -44,6 +44,20 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def round6(x: Column) -> Column:
+    """Tie-robust 6-dp rounding: floor(x*1e6 + 0.5)/1e6, NOT F.round.
+
+    Spark rounds HALF_UP on the exact BigDecimal expansion of the double;
+    DuckDB rounds through a float multiply — on half-ulp ties they disagree
+    in the last digit (hit for real by quality_score at gen-sf0.1, see
+    ops/text.py). Both engines evaluating this identical float procedure
+    agree bit-for-bit whenever the input double is identical, which it is
+    here (both sides sum the dot product in index order). For negative
+    cosines this is round-half-toward-+inf on exact ties — identically so
+    in both engines, which is all the oracle needs."""
+    return F.floor(x * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -96,7 +110,7 @@ def brute_force_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", round6(cosine(F.col("qv"), F.col("cv"))))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -145,7 +159,7 @@ def lsh_bucket_topk(
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", round6(cosine(F.col("qv"), F.col("cv"))))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -263,7 +277,7 @@ def ivf_topk(
     )
     assign = (
         c.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cosine(F.col("cv"), F.col("centv")), 6))
+        .withColumn("csim", round6(cosine(F.col("cv"), F.col("centv"))))
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
         .select("neighbor_id", "cv", "cid")
@@ -277,7 +291,7 @@ def ivf_topk(
     )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("csim", F.round(cosine(F.col("qv"), F.col("centv")), 6))
+        .withColumn("csim", round6(cosine(F.col("qv"), F.col("centv"))))
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cid")
@@ -285,7 +299,7 @@ def ivf_topk(
     scored = (
         assign.join(F.broadcast(probes), "cid")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("qv"), F.col("cv")), 6))
+        .withColumn("cos_sim", round6(cosine(F.col("qv"), F.col("cv"))))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
@@ -320,7 +334,7 @@ def embedding_near_dup_pairs(
             df.sparkSession.sparkContext.defaultParallelism,
             F.xxhash64("id_1", "id_2"),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("v1"), F.col("v2")), 6))
+        .withColumn("cos_sim", round6(cosine(F.col("v1"), F.col("v2"))))
         .where(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
     )

@@ -28,6 +28,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
@@ -172,8 +173,17 @@ def lsh_candidates(
             sizes.where(F.col("bsz") > bucket_cap).drop("bsz"),
             ["band_id", "band_hash"],
         ).join(
+            # Sort key is a 64-char text prefix, not the full document:
+            # every over-cap member's key is replicated once per over-cap
+            # band membership (up to num_bands times) through the shuffle
+            # and into the per-bucket window sort, so full texts turn a
+            # degenerate bucket into a straggler task moving GBs. A 64-char
+            # prefix (id tiebreak in the window's orderBy) preserves SN
+            # adjacency — near-duplicates agree on prefixes far longer
+            # than 64 — at a fraction of the shuffle volume.
             df.select(
-                F.col(id_col).alias("_id"), F.col(text_col).alias("_txt")
+                F.col(id_col).alias("_id"),
+                F.substring(F.col(text_col), 1, 64).alias("_txt"),
             ),
             "_id",
         ).select(
@@ -189,13 +199,28 @@ def lsh_candidates(
         )
         pairs = pairs.union(refined).distinct()
     if est_jaccard_floor > 0:
-        sigs = with_sig.select("_id", "signature")
+        # Screen on 15-bit truncations of the minhash values, not the full
+        # 64-bit signatures: the estimator only compares positions for
+        # EQUALITY, and x==y implies trunc(x)==trunc(y), so recall through
+        # the screen is exact; a false positional match needs a 2^-15
+        # truncation collision (expected inflation ~126/32768 of one
+        # position — invisible at a 0.25 floor). The payoff is shuffle
+        # bytes: the second pair-sig join ships every candidate pair's
+        # attached signature, and smallint arrays are ~4x leaner than the
+        # long arrays (the full-width version filled this box's disk with
+        # spill at 400k pages before the screen ever finished).
+        sigs = with_sig.select(
+            "_id",
+            F.transform(
+                "signature", lambda x: (x.bitwiseAND(F.lit(32767))).cast("smallint")
+            ).alias("ssig"),
+        )
         est = (
             pairs
             .join(sigs.select(F.col("_id").alias("id_1"),
-                              F.col("signature").alias("_sig1")), "id_1")
+                              F.col("ssig").alias("_sig1")), "id_1")
             .join(sigs.select(F.col("_id").alias("id_2"),
-                              F.col("signature").alias("_sig2")), "id_2")
+                              F.col("ssig").alias("_sig2")), "id_2")
             .withColumn(
                 "_est_j",
                 F.size(
@@ -205,14 +230,29 @@ def lsh_candidates(
                     )
                 ) / F.lit(float(num_perm)),
             )
+            # Narrow BEFORE the lazy persist: the signature arrays
+            # (num_perm longs per side) would make the cached rows ~100x
+            # fatter for no reader.
+            .select("id_1", "id_2", "_est_j")
+            # Lazy persist so the stats branch (drop accounting) and the
+            # pairs branch share ONE execution of the expensive
+            # bands-self-join + over-cap refinement + double signature
+            # join, instead of re-running it per action (the orchestrator
+            # collects stats AND checkpoints pairs). Lazy: a caller that
+            # never runs stats pays no extra job, only cache residency;
+            # MEMORY_AND_DISK so a huge candidate set spills, not OOMs.
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Drop accounting rides on the stats frame (crossJoin of two 1-row
-        # aggregates). NOTE: materializing stats then re-executes the
-        # candidate join once — callers that can't afford that at full
-        # scale should skip the stats action, not the screen.
+        # aggregates). coalesce: F.sum over an EMPTY frame is NULL, and
+        # the lineage contract is a counted zero, not None.
         screen_stats = est.agg(
-            F.sum(
-                F.when(F.col("_est_j") < est_jaccard_floor, 1).otherwise(0)
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("_est_j") < est_jaccard_floor, 1)
+                    .otherwise(0)
+                ),
+                F.lit(0),
             ).alias("n_screened_out"),
         )
         stats = stats.crossJoin(screen_stats)

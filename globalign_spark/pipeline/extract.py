@@ -13,16 +13,19 @@ Real Common-Crawl HTML needs more, so the extractor is tiered:
   ``title="a>b"`` must not terminate the tag) and drops script/style/
   comment subtrees — still pure codegen;
 - ``entities="full"`` additionally resolves numeric character references
-  (``&#233;`` / ``&#xE9;``) and the full HTML5 named set via an
-  Arrow-batched pandas UDF over ``html.unescape`` — applied ONLY to rows
-  that still contain an ``&...;`` pattern after the named fast path, so the
-  Python crossing is pay-per-rare-row, not per-corpus;
+  (``&#233;`` / ``&#xE9;``, with or without the trailing ``;``) and the
+  full HTML5 named set — including the legacy semicolon-less refs like
+  ``&gt`` — via an Arrow-batched pandas UDF over ``html.unescape``,
+  applied ONLY to rows still carrying such a token after the named fast
+  path, so the Python crossing is pay-per-rare-row, not per-corpus;
 - ``normalize_ws=True`` collapses whitespace runs to single spaces and
   trims (off by default: the byte-identity invariant forbids it for the
   fixture corpus).
 """
 
 from __future__ import annotations
+
+import html.entities
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -34,6 +37,25 @@ _TAG = "<(?:[^>\"']|\"[^\"]*\"|'[^']*')*>"
 
 _NAMED = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
           ("&#39;", "'"), ("&amp;", "&")]
+
+# Screen for rows that must cross into the html.unescape pandas UDF in
+# entities="full" mode. It must match every token class html.unescape
+# resolves, or parity silently breaks for that class:
+#   - numeric refs, WITH OR WITHOUT the trailing ';' (&#65 -> "A"),
+#   - ';'-terminated named refs (&eacute;),
+#   - the HTML5 legacy named refs that resolve WITHOUT a ';' (&gt, &copy,
+#     ... — the 106 semicolon-less keys of html.entities.html5).
+# Over-matching is safe (the row crosses to Python and unescape(raw)
+# agrees with the named fast path byte-for-byte); under-matching is the
+# bug this pattern exists to prevent.
+_LEGACY_NAMED = "|".join(
+    sorted((k for k in html.entities.html5 if not k.endswith(";")),
+           key=len, reverse=True)
+)
+_ENTITY_SCREEN = (
+    "&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*;|(?:%s))"
+    % _LEGACY_NAMED
+)
 
 
 def strip_tags(s: Column) -> Column:
@@ -82,7 +104,9 @@ def extract_text(
     for ent, ch in _NAMED:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     if entities == "full":
-        # Residual &name;/&#N;/&#xN; AFTER the named pass -> full resolver.
+        # Residual entity tokens AFTER the named pass -> full resolver
+        # (see _ENTITY_SCREEN for the exact token classes, including the
+        # semicolon-less legacy named refs html.unescape resolves).
         # The screen runs on the post-named text s (so a row whose only
         # entities are the five common ones never crosses into Python),
         # but the resolver re-derives from the stripped ORIGINAL: running
@@ -93,10 +117,7 @@ def extract_text(
         # one token it can create (&amp;lt; -> &lt;) single-pass
         # html.unescape(raw) agrees with the named pass byte-for-byte.
         raw = strip_tags(F.decode(html, "UTF-8"))
-        s = F.when(
-            s.rlike("&(#[0-9]+|#[xX][0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);"),
-            _unescape_full(raw),
-        ).otherwise(s)
+        s = F.when(s.rlike(_ENTITY_SCREEN), _unescape_full(raw)).otherwise(s)
     if normalize_ws:
         s = F.trim(F.regexp_replace(s, r"\s+", " "))
     return s

@@ -183,6 +183,14 @@ def test_extractor_adversarial_html(spark):
         # path; the post-named screen must not re-route them to Python
         (b"<p>x &amp; y</p>", "full", False, "x & y"),
         (b"<p>a &amp;lt; b</p>", "full", False, "a &lt; b"),
+        # semicolon-less tokens html.unescape resolves: legacy named refs
+        # and bare numeric refs must cross to the full resolver even when
+        # no ';'-terminated entity co-occurs in the row
+        (b"<p>x &amp; y &gt z</p>", "full", False, "x & y > z"),
+        (b"<p>&#65 b</p>", "full", False, "A b"),
+        (b"<p>5 &copy 2020</p>", "full", False, "5 \xa9 2020"),
+        # '&' + letters that is NOT an entity stays literal in both modes
+        (b"<p>AT&T R&D</p>", "full", False, "AT&T R&D"),
     ]
     df = spark.createDataFrame(
         [(i, h, m, w, e) for i, (h, m, w, e) in enumerate(cases)],
