@@ -155,18 +155,25 @@ def isolate_main(args) -> dict:
         if args.master:
             cmd += ["--master", args.master]
         print(f"# isolate: {name} ...", file=sys.stderr, flush=True)
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, check=True
-        ).stdout
-        child = json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            # Surface the child's diagnostics and keep the sweep alive:
+            # one OOMing query must not discard 33 measured timings.
+            print(f"# isolate {name}: FAILED rc={proc.returncode}",
+                  file=sys.stderr, flush=True)
+            print(proc.stderr[-4000:], file=sys.stderr, flush=True)
+            times[name] = None
+            continue
+        child = json.loads(proc.stdout.strip().splitlines()[-1])
         times[name] = child["queries"][name]
         print(f"# isolate {name}: {times[name]}s", file=sys.stderr,
               flush=True)
     return {
         "metric": "per-query wall time, fresh session each (isolated)",
-        "value": round(sum(times.values()), 3),
+        "value": round(sum(t for t in times.values() if t is not None), 3),
         "unit": "sec",
         "queries": times,
+        "n_failed": sum(1 for t in times.values() if t is None),
         "sf": _sf_of(args.sf_dir),
         "isolated": True,
     }

@@ -50,10 +50,14 @@ MEDIA_SCHEMA = StructType(
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType(), False),
-        StructField("kind", StringType(), False),
+        StructField("kind", StringType(), True),
         StructField("n_bytes", LongType(), False),
-        StructField("byte_entropy", DoubleType(), False),
-        StructField("features", ArrayType(DoubleType()), False),
+        StructField("byte_entropy", DoubleType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+        # Counted lineage for rows the backend cannot decode (unknown or
+        # NULL kind, corrupt blob, modality seam): features is NULL and
+        # this names why — one bad row must never abort the whole job.
+        StructField("decode_error", StringType(), True),
     ]
 )
 
@@ -323,13 +327,21 @@ def extract_media_features(
             feats = []
             ent = []
             nb = []
+            errs = []
             for blob, knd in zip(pdf[blob_col], pdf[kind_col]):
                 data = bytes(blob) if blob is not None else b""
-                f = be.decode(knd if knd is not None else "", data)
-                feats.append(f.tolist())
                 nb.append(len(data))
+                try:
+                    f = be.decode(knd if knd is not None else "", data)
+                except Exception as exc:  # counted lineage, never an abort
+                    feats.append(None)
+                    ent.append(None)
+                    errs.append(f"{type(exc).__name__}: {exc}")
+                    continue
+                feats.append(f.tolist())
                 p = f[f > 0]
                 ent.append(float(-(p * np.log2(p)).sum()) if p.size else 0.0)
+                errs.append(None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col],
@@ -337,6 +349,7 @@ def extract_media_features(
                     "n_bytes": nb,
                     "byte_entropy": ent,
                     "features": feats,
+                    "decode_error": errs,
                 }
             )
 

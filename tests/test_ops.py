@@ -177,6 +177,27 @@ def test_multimodal_real_backend_raises():
         multimodal.DecodeBackend().decode("image", b"abc")
 
 
+def test_multimodal_bad_rows_are_counted_not_fatal(spark):
+    """One undecodable row (video seam, NULL kind, corrupt blob) must yield
+    a decode_error row, not abort the whole mapInPandas job."""
+    rows = [
+        (0, "video", b"\x00\x01"),        # modality seam
+        (1, None, b"\x00\x01"),           # NULL kind
+        (2, "image", b"not a png at all"),  # corrupt blob
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, blob binary")
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_media_features(
+            df, backend=multimodal.KindDispatchBackend()
+        ).collect()
+    }
+    assert len(out) == 3
+    for r in out.values():
+        assert r.features is None and r.decode_error, r
+    assert "NotImplementedError" in out[0].decode_error
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(0,), (1,)], "media_id long")
     out = multimodal.frame_sample_plan(df, every_n=4).collect()

@@ -15,6 +15,11 @@ CYCLES=${1:-3}
 OUT=${2:-BENCH/r3/ab_regression.txt}
 QUERIES=er_lsh_pipeline,dedup_minhash_lsh,ngram_jaccard,dedup_exact
 R1TREE=/tmp/r1tree
+if [ ! -f "$R1TREE/bench.py" ]; then
+  echo "r1 worktree missing — create it first:" >&2
+  echo "  git worktree add $R1TREE \$(git log --format=%h --grep='round 1:' | head -1)" >&2
+  exit 1
+fi
 
 {
   echo "# A/B adjudication $(date -u +%FT%TZ): r1 (2c4a0ef) vs HEAD ($(git rev-parse --short HEAD))"

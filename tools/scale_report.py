@@ -36,8 +36,11 @@ def main() -> None:
         rows.append((exp, q, t0, t1))
     for exp, q, t0, t1 in sorted(rows, reverse=True):
         print(f"| {q} | {t0} | {t1} | {exp:.2f} |")
-    tot0 = sum(lo["queries"].values())
-    tot1 = sum(hi["queries"][q] for _, q, _, _ in rows)
+    # Totals over the INTERSECTION only: a query present in one file but
+    # not the other (e.g. renamed between runs) must not skew the overall
+    # exponent by inflating one side's total.
+    tot0 = sum(t0 for _, _, t0, _ in rows)
+    tot1 = sum(t1 for _, _, _, t1 in rows)
     print(
         f"\ntotal {tot0:.1f}s -> {tot1:.1f}s, overall exponent "
         f"{math.log(tot1 / tot0) / math.log(r):.2f} over a {r:.0f}x "
