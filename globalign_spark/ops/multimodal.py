@@ -9,11 +9,15 @@ Decode backends, by modality:
   contract.
 - **audio** — REAL decoder :class:`WavDecodeBackend` (stdlib ``wave``:
   PCM 8/16-bit, any channel count) -> 16-dim time/spectral features.
-- **video** — seam-only: container demux/codec decode needs pyav/ffmpeg,
-  absent in this sandbox; :class:`DecodeBackend.decode` raises. The
-  Spark-side plumbing a video path needs (frame-sample explode +
-  per-frame feature extraction) is real and tested via
-  :func:`frame_sample_plan` + the image backends.
+- **video** — REAL decoder :class:`Y4mDecodeBackend` for uncompressed
+  YUV4MPEG2 streams (stdlib parse of the Y4M container: header + per-frame
+  planar YUV; 420/422/444/mono): evenly frame-samples, pools each sampled
+  frame's luma plane through the shared 8x8 block-mean, and appends a
+  temporal-motion envelope -> 72-dim features. Compressed containers
+  (mp4/webm/mkv) still need pyav/ffmpeg, absent in this sandbox — those
+  remain the documented :class:`DecodeBackend.decode` seam, and
+  :func:`frame_sample_plan` shows the explode/partition plumbing a codec
+  path would reuse unchanged.
 - :class:`FakeDecodeBackend` — deterministic byte-histogram stand-in for
   plumbing tests of arbitrary blobs.
 
@@ -72,18 +76,21 @@ except ImportError:  # pragma: no cover - exercised when Pillow is absent
 
 
 class DecodeBackend:
-    """Base / video seam. Image and audio have real decoders below
-    (PngDecodeBackend, WavDecodeBackend, PillowDecodeBackend); video
-    container decode requires pyav/ffmpeg, not present in this container,
-    so the base decode raises. The Spark plumbing around every backend is
-    identical and fully functional."""
+    """Base / compressed-video seam. Every modality has a real decoder
+    below (PngDecodeBackend / PillowDecodeBackend for image,
+    WavDecodeBackend for audio, Y4mDecodeBackend for uncompressed
+    YUV4MPEG2 video); decoding COMPRESSED video containers (mp4/webm/mkv)
+    requires pyav/ffmpeg, not present in this container, so the base
+    decode raises. The Spark plumbing around every backend is identical
+    and fully functional."""
 
     def decode(self, kind: str, blob: bytes) -> np.ndarray:
         raise NotImplementedError(
-            "video decoding requires codec libraries (pyav/ffmpeg) not "
-            "installed in this environment; image has PngDecodeBackend / "
-            "PillowDecodeBackend, audio has WavDecodeBackend, and "
-            "FakeDecodeBackend covers arbitrary blobs"
+            "compressed-video decoding requires codec libraries "
+            "(pyav/ffmpeg) not installed in this environment; image has "
+            "PngDecodeBackend / PillowDecodeBackend, audio has "
+            "WavDecodeBackend, uncompressed Y4M video has "
+            "Y4mDecodeBackend, and FakeDecodeBackend covers arbitrary blobs"
         )
 
 
@@ -254,14 +261,109 @@ class WavDecodeBackend(DecodeBackend):
         return feats / s if s else feats
 
 
+class Y4mDecodeBackend(DecodeBackend):
+    """REAL video decode with the standard library only: YUV4MPEG2 (Y4M)
+    uncompressed streams — header parse + per-frame planar YUV slicing
+    (C420*/C422/C444/Cmono, 8-bit). Feature contract (72-dim,
+    L1-normalized):
+
+    - dims 0-63: mean over <= ``max_frames`` evenly-sampled frames of the
+      shared 8x8 block-mean pooling of each frame's luma plane (the same
+      pooling the image backends use, so image and video features live in
+      a comparable space);
+    - dims 64-71: temporal-motion envelope — mean absolute luma difference
+      between consecutive sampled frames, binned into 8 time windows
+      (zero for single-frame streams).
+
+    Frame sampling is the decode-side twin of :func:`frame_sample_plan`:
+    bounded work per blob regardless of stream length. Compressed
+    containers are rejected up front (bad magic) and stay the documented
+    codec seam."""
+
+    def __init__(self, max_frames: int = 8) -> None:
+        self.max_frames = max_frames
+
+    @staticmethod
+    def _chroma_cells(cs: str, w: int, h: int) -> int:
+        if cs.startswith("420"):
+            return 2 * ((w // 2) * (h // 2))
+        if cs.startswith("422"):
+            return 2 * ((w // 2) * h)
+        if cs.startswith("444"):
+            return 2 * (w * h)
+        if cs.startswith("mono"):
+            return 0
+        raise NotImplementedError(f"Y4M: colorspace C{cs} unsupported")
+
+    def decode(self, kind: str, blob: bytes) -> np.ndarray:
+        if kind not in ("", "video"):
+            raise NotImplementedError(f"Y4mDecodeBackend: kind={kind!r}")
+        if not blob.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a Y4M stream (bad magic)")
+        eol = blob.index(b"\n")
+        w = h = None
+        cs = "420jpeg"  # spec default when no C tag is present
+        for tok in blob[9:eol].split():
+            tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"C":
+                cs = val
+        if not w or not h:
+            raise ValueError("Y4M: missing W/H in stream header")
+        frame_cells = w * h + self._chroma_cells(cs, w, h)
+        # Pass 1: frame offsets (cheap — header scan + fixed-size skips).
+        offsets = []
+        pos = eol + 1
+        while pos < len(blob):
+            if blob[pos:pos + 5] != b"FRAME":
+                raise ValueError(f"Y4M: bad FRAME marker at byte {pos}")
+            data_at = blob.index(b"\n", pos) + 1
+            if data_at + frame_cells > len(blob):
+                raise ValueError("Y4M: truncated frame payload")
+            offsets.append(data_at)
+            pos = data_at + frame_cells
+        if not offsets:
+            raise ValueError("Y4M: stream has no frames")
+        # Pass 2: decode only <= max_frames evenly-spaced luma planes.
+        take = np.unique(
+            np.linspace(0, len(offsets) - 1, min(self.max_frames, len(offsets)))
+            .round().astype(np.intp)
+        )
+        lumas = [
+            np.frombuffer(blob, np.uint8, count=w * h, offset=offsets[i])
+            .reshape(h, w).astype(np.float64)
+            for i in take
+        ]
+        pooled = np.mean([_pool_gray_8x8(g) for g in lumas], axis=0)
+        if len(lumas) > 1:
+            diffs = np.array(
+                [float(np.abs(b - a).mean()) / 255.0
+                 for a, b in zip(lumas, lumas[1:])]
+            )
+            motion = np.array(
+                [float(seg.mean()) if seg.size else 0.0
+                 for seg in np.array_split(diffs, 8)]
+            )
+        else:
+            motion = np.zeros(8, dtype=np.float64)
+        feats = np.concatenate([pooled, motion])
+        s = feats.sum()
+        return feats / s if s else feats
+
+
 class KindDispatchBackend(DecodeBackend):
     """Production composition: route each blob to its modality's real
     decoder (image -> PNG/stdlib with Pillow fallback for other formats,
-    audio -> WAV). Video stays the documented NotImplementedError seam."""
+    audio -> WAV, video -> Y4M when the magic matches). Compressed video
+    containers stay the documented NotImplementedError seam."""
 
     def __init__(self) -> None:
         self._png = PngDecodeBackend()
         self._wav = WavDecodeBackend()
+        self._y4m = Y4mDecodeBackend()
         self._pillow = PillowDecodeBackend() if PIL_AVAILABLE else None
 
     def decode(self, kind: str, blob: bytes) -> np.ndarray:
@@ -271,7 +373,9 @@ class KindDispatchBackend(DecodeBackend):
             return self._pillow.decode(kind, blob)
         if kind == "audio":
             return self._wav.decode(kind, blob)
-        return super().decode(kind, blob)  # video: seam
+        if kind == "video" and blob.startswith(b"YUV4MPEG2"):
+            return self._y4m.decode(kind, blob)
+        return super().decode(kind, blob)  # compressed video: seam
 
 
 class PillowDecodeBackend(DecodeBackend):

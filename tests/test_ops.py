@@ -562,3 +562,89 @@ def test_kind_dispatch_end_to_end(spark):
     assert len(out[1].features) == 16
     with pytest.raises(NotImplementedError):
         be.decode("video", b"\x00\x00\x00\x18ftypmp42")
+
+
+def _y4m_encode(lumas: np.ndarray, cs: str = "420jpeg") -> bytes:
+    """Real YUV4MPEG2 writer for tests: (n, h, w) uint8 luma planes ->
+    spec-valid Y4M stream (chroma planes neutral 128)."""
+    n, h, w = lumas.shape
+    if cs.startswith("420"):
+        chroma = (w // 2) * (h // 2)
+    elif cs.startswith("422"):
+        chroma = (w // 2) * h
+    elif cs.startswith("444"):
+        chroma = w * h
+    else:  # mono
+        chroma = 0
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode())
+    for i in range(n):
+        out += b"FRAME\n"
+        out += lumas[i].tobytes()
+        out += b"\x80" * (2 * chroma)
+    return bytes(out)
+
+
+def test_y4m_backend_decodes_real_bytes():
+    """Golden-feature check on a real Y4M stream: a static video's pooled
+    dims equal the image pooling of its (single) luma frame and its motion
+    dims are exactly zero; a moving video has nonzero motion. 422 / mono
+    colorspaces and frame sampling parse the same stream correctly."""
+    rng = np.random.Generator(np.random.Philox(23))
+    be = multimodal.Y4mDecodeBackend()
+
+    gray = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    static = np.repeat(gray[None], 5, axis=0)
+    got = be.decode("video", _y4m_encode(static))
+    want_pool = multimodal._pool_gray_8x8(gray.astype(np.float64))
+    assert got.size == 72 and abs(got.sum() - 1.0) < 1e-9
+    np.testing.assert_allclose(
+        got[:64], want_pool / want_pool.sum(), rtol=0, atol=1e-12
+    )
+    np.testing.assert_array_equal(got[64:], 0.0)
+
+    moving = np.stack([np.roll(gray, s, axis=1) for s in range(6)])
+    got_m = be.decode("video", _y4m_encode(moving, cs="444"))
+    assert got_m[64:].sum() > 0  # motion envelope sees the scroll
+
+    # mono + 422 parse to the same luma content as 420
+    for cs in ("mono", "422"):
+        got_cs = be.decode("video", _y4m_encode(static, cs=cs))
+        np.testing.assert_allclose(got_cs, got, rtol=0, atol=1e-12)
+
+    # frame sampling: 100 frames, max_frames=4 -> same answer as the
+    # 4-frame stream made of exactly those sampled frames
+    long = np.stack([np.roll(gray, s, axis=0) for s in range(100)])
+    small = multimodal.Y4mDecodeBackend(max_frames=4)
+    got_long = small.decode("video", _y4m_encode(long))
+    got_4 = small.decode("video", _y4m_encode(long[[0, 33, 66, 99]]))
+    np.testing.assert_allclose(got_long, got_4, rtol=0, atol=1e-12)
+
+    with pytest.raises(ValueError):
+        be.decode("video", _y4m_encode(static)[:-10])  # truncated payload
+    with pytest.raises(ValueError):
+        be.decode("video", b"RIFFnotvideo")  # bad magic
+
+
+def test_kind_dispatch_video_end_to_end(spark):
+    """A real Y4M blob through the production dispatch backend inside the
+    SAME mapInPandas plumbing; a compressed-container blob on the same
+    DataFrame lands as counted decode_error lineage, not an abort."""
+    gray = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    y4m = _y4m_encode(np.repeat(gray[None], 3, axis=0))
+    df = spark.createDataFrame(
+        [(0, "video", y4m), (1, "video", b"\x00\x00\x00\x18ftypmp42")],
+        "media_id long, kind string, blob binary",
+    )
+    out = {
+        r.media_id: r
+        for r in multimodal.extract_media_features(
+            df, backend=multimodal.KindDispatchBackend()
+        ).collect()
+    }
+    assert len(out[0].features) == 72 and out[0].decode_error is None
+    want = multimodal._pool_gray_8x8(gray.astype(np.float64))
+    np.testing.assert_allclose(
+        out[0].features[:64], want / want.sum(), rtol=0, atol=1e-12
+    )
+    assert out[1].features is None
+    assert "NotImplementedError" in out[1].decode_error
