@@ -1346,18 +1346,18 @@ def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = pred.withColumn("_p", F.lit(1)).join(
         truth.withColumn("_t", F.lit(1)), ["u1", "u2"], "full_outer"
     )
-    row = m.agg(
+    base = m.agg(
         F.count("_p").alias("n_pred"),
         F.count("_t").alias("n_truth"),
         F.count(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)).alias(
             "tp"
         ),
-    ).first()
-    n_pred, n_truth, tp = row["n_pred"], row["n_truth"], row["tp"]
-    fp, fn = n_pred - tp, n_truth - tp
-    base = spark.createDataFrame(
-        [(n_pred, n_truth, tp, fp, fn)],
-        "n_pred long, n_truth long, tp long, fp long, fn long",
+    ).select(
+        "n_pred",
+        "n_truth",
+        "tp",
+        (F.col("n_pred") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
     )
     # F.round (HALF_UP), matching DuckDB round — not Python's banker's round
     return base.select(
