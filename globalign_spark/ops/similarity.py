@@ -2,7 +2,10 @@
 
   - brute_force_topk: exact cosine top-k per query — broadcast the (small)
     query set against the (huge) corpus; one shuffle for the per-query top-k
-    window. The 100 TB baseline path.
+    window. The exact/correctness baseline: cost is O(|queries| * corpus),
+    so it is only viable at full corpus scale for small query sets — at
+    10^12 rows the ANN paths below are the production route; this one
+    exists to ground-truth their recall.
   - lsh_bucket_topk: random-hyperplane LSH variant — corpus and queries are
     bucketed by sign bits of dot products with R fixed hyperplanes; only
     same-bucket candidates are scored. The scale path: candidate count drops
