@@ -59,7 +59,7 @@ class CompiledParams:
     __slots__ = ("sub", "dele", "ins", "go", "max_cost", "max_score",
                  "delta_d", "delta_i", "alpha_pad_mask", "uniform_sub",
                  "dele_alpha_max", "ins_alpha_max",
-                 "dele_alpha_min", "ins_alpha_min")
+                 "dele_alpha_min", "ins_alpha_min", "is_unit_cost")
 
     def __init__(self, params: AlignParams):
         costing = params.costing_dict()
@@ -92,6 +92,16 @@ class CompiledParams:
                 if off.size == 0 or (off == off.flat[0]).all():
                     o0 = int(off.flat[0]) if off.size else d0
                     self.uniform_sub = (d0, o0)
+        # Plain Levenshtein shape: match 0 / mismatch 1 / every in-alphabet
+        # gap step 1 / no gap-open surcharge. This is the pipeline's default
+        # configuration (config.unit_cost_params) and unlocks the Myers
+        # bit-parallel fast path in align_cost_batch.
+        self.is_unit_cost = (
+            self.go == 0
+            and self.uniform_sub == (0, 1)
+            and self.dele_alpha_min == 1 and self.dele_alpha_max == 1
+            and self.ins_alpha_min == 1 and self.ins_alpha_max == 1
+        )
 
     def final_score(self, cost: np.ndarray, m: np.ndarray, n: np.ndarray):
         """score = n*delta_d + m*delta_i - cost (conclude.py:154-177)."""
@@ -142,6 +152,181 @@ def _prefix_min_inplace(W: np.ndarray) -> None:
         d >>= 1
 
 
+# Myers bit-parallel path toggle (A/B lever for benches; on by default).
+_MYERS_ON = _os.environ.get("GA_MYERS", "1") != "0"
+
+_U1 = np.uint64(1)
+_U63 = np.uint64(63)
+_FULL64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _myers_unit_cost_batch(
+    A: np.ndarray, T: np.ndarray, m: np.ndarray, n: np.ndarray
+) -> np.ndarray:
+    """Exact Levenshtein for a batch of pairs via blocked Myers bit-vectors.
+
+    Myers (J.ACM 1999) packs one DP anti-column per machine word: the
+    vertical delta column D[*,j] - D[*,j-1] (values in {-1,0,+1}) is held
+    as two bitmasks VP/VN, and one text character updates all 64 pattern
+    rows of a word with ~15 bitwise ops. Hyyro's global-distance variant
+    is used (the ``(HP << 1) | 1`` boundary carry encodes D(0,j) = j).
+    The reference computes the same distance as a dense Python DP
+    (/root/reference/src/globalign/globaligner.py:317-392); this path is
+    the unit-cost specialization, bit-for-bit equal to the Gotoh sweep
+    (fuzzed in tests/test_kernel_parity.py).
+
+    Blocked across words W = ceil(m_max/64) with explicit carry
+    propagation, and vectorized across the batch: every state array is a
+    contiguous (B,) uint64 per word (word-major layout — column views of
+    a (B, W) matrix would make every op strided). Per-pair pattern
+    lengths vary inside the batch: bits at rows >= m_p are garbage but
+    harmless, because carries in the word addition only travel from low
+    rows to high rows, so bit m_p - 1 never reads them. The per-pair
+    score is tracked at its own (word, bit) via per-word masks and
+    captured when the pair's text is fully consumed.
+
+    ``A``/``T`` are the encoded, zero-padded (B, m_max)/(B, n_max) uint8
+    arrays from align_cost_batch; ``m``/``n`` the true lengths.
+    """
+    B, m_max = A.shape
+    n_max = T.shape[1]
+    W = (m_max + 63) >> 6
+    mp = W << 6
+
+    # Dense alphabet remap: Peq tables stay small enough for the per-
+    # iteration gather to live in L2 (webtext is <~100 distinct bytes).
+    used = np.union1d(np.unique(A), np.unique(T))
+    lut = np.zeros(256, dtype=np.uint8)
+    lut[used] = np.arange(used.size, dtype=np.uint8)
+    nA = int(used.size)
+    Ad = np.zeros((B, mp), dtype=np.uint8)
+    Ad[:, :m_max] = lut[A]
+    Td = lut[T].astype(np.int64)
+
+    # Peq[p][c] bit i of word w: pattern char at row 64w+i equals c.
+    # Built vectorized: one bool compare + packbits per 16-char alphabet
+    # slab (slabbing bounds the bool intermediate at ~B*16*mp bytes).
+    Pq = np.empty((B, nA, W), dtype=np.uint64)
+    ids = np.arange(nA, dtype=np.uint8)
+    for a0 in range(0, nA, 16):
+        a1 = min(a0 + 16, nA)
+        eq = Ad[:, None, :] == ids[None, a0:a1, None]
+        Pq[:, a0:a1] = np.packbits(eq, axis=-1, bitorder="little").view(
+            np.uint64
+        )
+    # Padding byte maps to id lut[0]; its Peq bits sit at rows >= m_p
+    # only (real text never contains byte 0), so no masking is needed.
+    Peqf = [np.ascontiguousarray(Pq[:, :, w]).ravel() for w in range(W)]
+
+    wi = np.arange(W, dtype=np.int64)
+    bits = np.clip(m[:, None] - 64 * wi[None, :], 0, 64)
+    VPm = np.where(
+        bits >= 64, _FULL64, (_U1 << bits.astype(np.uint64)) - _U1
+    ).astype(np.uint64)
+    VP = [np.ascontiguousarray(VPm[:, w]) for w in range(W)]
+    VN = [np.zeros(B, dtype=np.uint64) for _ in range(W)]
+    score = m.astype(np.int64)
+    sw = (m - 1) >> 6
+    sb = _U1 << ((m - 1) & 63).astype(np.uint64)
+    sbw = [np.where(sw == w, sb, np.uint64(0)) for w in range(W)]
+    sact = [bool((sw == w).any()) for w in range(W)]
+
+    out = np.empty(B, dtype=np.int64)
+    fidx = np.arange(B, dtype=np.int64) * nA
+    tidx = np.empty(B, dtype=np.int64)
+    Eq = [np.empty(B, dtype=np.uint64) for _ in range(W)]
+    S = [np.empty(B, dtype=np.uint64) for _ in range(W)]
+    D0 = [np.empty(B, dtype=np.uint64) for _ in range(W)]
+    HP = [np.empty(B, dtype=np.uint64) for _ in range(W)]
+    HN = [np.empty(B, dtype=np.uint64) for _ in range(W)]
+    Xc = np.empty(B, dtype=np.uint64)
+    carry = np.empty(B, dtype=np.uint64)
+    c1 = np.empty(B, dtype=bool)
+    c2 = np.empty(B, dtype=bool)
+    cb = np.empty(B, dtype=bool)
+    bt = np.empty(B, dtype=bool)
+    t_ = np.empty(B, dtype=np.uint64)
+    hp_c = np.empty(B, dtype=np.uint64)
+    hn_c = np.empty(B, dtype=np.uint64)
+    hp_n = np.empty(B, dtype=np.uint64)
+    hn_n = np.empty(B, dtype=np.uint64)
+    last = W - 1
+
+    # Capture schedule grouped by text length (replaces a nonzero() scan
+    # per iteration).
+    order = np.argsort(n, kind="stable")
+    starts = np.searchsorted(n[order], np.arange(1, n_max + 2))
+
+    for j in range(1, n_max + 1):
+        np.add(fidx, Td[:, j - 1], out=tidx)
+        # D0 = (((Eq & VP) + VP) ^ VP) | Eq | VN, addition carried across
+        # words (carry-out: sum wrapped below an addend, or landed exactly
+        # on it while consuming a carry-in).
+        for w in range(W):
+            e = Eq[w]
+            np.take(Peqf[w], tidx, out=e)
+            np.bitwise_and(e, VP[w], out=Xc)
+            s_ = S[w]
+            np.add(Xc, VP[w], out=s_)
+            if w == 0:
+                np.less(s_, Xc, out=c1)
+            else:
+                np.add(s_, carry, out=s_)
+                np.less(s_, Xc, out=c1)
+                np.equal(s_, Xc, out=c2)
+                np.not_equal(carry, 0, out=cb)
+                np.bitwise_and(c2, cb, out=c2)
+                np.bitwise_or(c1, c2, out=c1)
+            if w != last:
+                carry[:] = c1
+        for w in range(W):
+            d = D0[w]
+            np.bitwise_xor(S[w], VP[w], out=d)
+            np.bitwise_or(d, Eq[w], out=d)
+            np.bitwise_or(d, VN[w], out=d)
+            hp = HP[w]
+            np.bitwise_or(d, VP[w], out=hp)
+            np.invert(hp, out=hp)
+            np.bitwise_or(hp, VN[w], out=hp)
+            hn = HN[w]
+            np.bitwise_and(VP[w], d, out=hn)
+            if sact[w]:
+                np.bitwise_and(hp, sbw[w], out=t_)
+                np.not_equal(t_, 0, out=bt)
+                score += bt
+                np.bitwise_and(hn, sbw[w], out=t_)
+                np.not_equal(t_, 0, out=bt)
+                score -= bt
+        # Shift HP/HN up one row (cross-word bit carry); bit 0 of word 0
+        # gets the D(0,j) = j boundary (+1 horizontal delta).
+        hp_c[:] = 1
+        hn_c[:] = 0
+        for w in range(W):
+            hp = HP[w]
+            hn = HN[w]
+            d = D0[w]
+            if w != last:
+                np.right_shift(hp, _U63, out=hp_n)
+                np.right_shift(hn, _U63, out=hn_n)
+            np.left_shift(hp, _U1, out=hp)
+            np.bitwise_or(hp, hp_c, out=hp)
+            np.left_shift(hn, _U1, out=hn)
+            np.bitwise_or(hn, hn_c, out=hn)
+            hp_c, hp_n = hp_n, hp_c
+            hn_c, hn_n = hn_n, hn_c
+            vp = VP[w]
+            vn = VN[w]
+            np.bitwise_or(hp, d, out=vp)
+            np.invert(vp, out=vp)
+            np.bitwise_or(vp, hn, out=vp)
+            np.bitwise_and(hp, d, out=vn)
+        s0, s1 = starts[j - 1], starts[j]
+        if s1 > s0:
+            cap = order[s0:s1]
+            out[cap] = score[cap]
+    return out
+
+
 def align_cost_batch(
     seqs1: list[str],
     seqs2: list[str],
@@ -174,6 +359,11 @@ def align_cost_batch(
     |m - n| > band are returned as their bign sentinel without sweeping.
     The reference computes the full dense table and cites banding as an
     aspiration only (/root/reference/README.md:100-113).
+
+    Unit-cost configs (the pipeline default) dispatch to the Myers
+    bit-parallel path instead, which returns the EXACT cost for every
+    pair regardless of ``band`` — strictly stronger than the banded
+    contract (exact in-cap, self-certifying over-cap).
     """
     B = len(seqs1)
     if B == 0:
@@ -193,11 +383,23 @@ def align_cost_batch(
         Bc[p, : n[p]] = encode(s)
     BcT = np.ascontiguousarray(Bc.T)  # (n_max, B)
 
-    use_cmp = (
-        cp.uniform_sub is not None
-        and bool(cp.alpha_pad_mask[A].all())
-        and bool(cp.alpha_pad_mask[Bc].all())
+    in_alpha = bool(cp.alpha_pad_mask[A].all()) and bool(
+        cp.alpha_pad_mask[Bc].all()
     )
+
+    if cp.is_unit_cost and in_alpha and _MYERS_ON:
+        # Myers bit-parallel fast path: EXACT Levenshtein, ~64 DP cells
+        # per word-op. Exactness subsumes every banded-call contract
+        # (exact == full <= any banded bound; over-cap pairs certify
+        # themselves), so ``band`` needs no handling here. The pattern
+        # side is the one with the larger max length: total word-ops
+        # ~ ceil(max_pat/64) * max_text either way, but the python-level
+        # loop (numpy dispatch overhead) runs over the text side.
+        if n_max > m_max:
+            return _myers_unit_cost_batch(Bc, A, n, m)
+        return _myers_unit_cost_batch(A, Bc, m, n)
+
+    use_cmp = cp.uniform_sub is not None and in_alpha
     dt = np.int32
     if use_cmp:
         d0, o0 = cp.uniform_sub

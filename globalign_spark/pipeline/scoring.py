@@ -39,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 from ..config import ENGINE_FULL_DP_CELL_CAP, AlignParams
+from .. import kernel as kernel_mod
 from ..kernel import CompiledParams, align_cost_batch
 
 # Max padded cells (B * m_max * n_max) per kernel invocation. Swept with 32
@@ -84,6 +85,20 @@ def _score_chunk(
         min_step = max(1, min(cp.dele_alpha_min, cp.ins_alpha_min))
         band_req = (cap + min_step - 1) // min_step
 
+    # Chunk sizing: the int16 Gotoh sweep holds ~8 (n, B) lattice slabs,
+    # so chunks are bounded by padded DP cells. The Myers bit-parallel
+    # path (unit-cost configs) holds ~14 (B,) uint64 words per 64 pattern
+    # rows plus per-word Peq gather tables (B * alphabet * 8 bytes), so it
+    # affords an 8x budget (~1.5k pairs per chunk at document shapes).
+    # Measured on tools/kernel_bench.py at 32 pinned workers, 300x300:
+    # chunks of ~1k-2k pairs run 163k pairs/s box-wide; ~6k-pair chunks
+    # push the Peq tables out of per-core L2 and collapse to 65k.
+    cell_budget = (
+        BATCH_CELL_BUDGET * 8
+        if cp.is_unit_cost and kernel_mod._MYERS_ON
+        else BATCH_CELL_BUDGET
+    )
+
     idx = np.nonzero(ok)[0]
     if idx.size:
         # Shape-homogeneous chunking. Sort key is (m-tile, n): tiling m into
@@ -109,7 +124,7 @@ def _score_chunk(
                 mm = max(m_max, lens1[p])
                 nn = max(n_max, lens2[p])
                 bsz = end - start + 1
-                if end > start and bsz * mm * nn > BATCH_CELL_BUDGET:
+                if end > start and bsz * mm * nn > cell_budget:
                     break
                 if (
                     bsz >= min_b
