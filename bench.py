@@ -306,8 +306,11 @@ def scaling_main(args) -> dict:
             return json.loads(proc.stdout.strip().splitlines()[-1])
         return {}
 
-    PAIRS = ((4, 16), (8, 32))
-    MODES = ("full", "banded")
+    PAIRS = tuple(
+        tuple(int(x) for x in p.split(":"))
+        for p in args.scaling_pairs.split(",")
+    )
+    MODES = tuple(args.scaling_modes.split(","))
     walls: dict[tuple[str, int], list[float]] = {}
     res: dict[tuple[str, int], dict] = {}
     cycle_effs: dict[str, list[float]] = {
@@ -369,8 +372,8 @@ def scaling_main(args) -> dict:
         "scaling_efficiency": effs,
         "scaling_efficiency_per_cycle": cycle_effs,
         # Back-compat keys (read by earlier rounds' notes):
-        "scaling_efficiency_4_to_16": effs["full_4_to_16"],
-        "scaling_efficiency_8_to_32": effs["full_8_to_32"],
+        "scaling_efficiency_4_to_16": effs.get("full_4_to_16"),
+        "scaling_efficiency_8_to_32": effs.get("full_8_to_32"),
         "target": 0.8,
         "machine_ceiling_compute": ceils,
         "machine_ceiling_per_cycle": cycle_ceils,
@@ -392,8 +395,8 @@ def scaling_main(args) -> dict:
             "banded production scorer, driver-prescribed 8->32 pair, "
             f"per-cycle paired ratios, median of {args.cycles} cycles"
         ),
-        "pass_4_to_16": effs["banded_4_to_16"] >= 0.8,
-        "pass_8_to_32_raw": effs["banded_8_to_32"] >= 0.8,
+        "pass_4_to_16": (effs.get("banded_4_to_16") or 0) >= 0.8,
+        "pass_8_to_32_raw": (effs.get("banded_8_to_32") or 0) >= 0.8,
         # The vs-ceiling arm carries a RAW FLOOR (>= 0.7): the ceiling
         # probe measures only hardware/neighbor contention (zero Spark
         # overhead), so without a floor a genuine framework scaling
@@ -403,7 +406,7 @@ def scaling_main(args) -> dict:
         # regardless of neighbor load; measured quiet-window raw here is
         # 0.82-0.83 and load-depressed windows bottom out ~0.73.
         "pass_8_to_32_vs_ceiling": (
-            rels["banded_8_to_32"] is not None
+            rels.get("banded_8_to_32") is not None
             and rels["banded_8_to_32"] >= 0.95
             and effs["banded_8_to_32"] >= 0.7
         ),
@@ -470,6 +473,10 @@ def main():
     # one long leg: drift cancels across a cycle, not within a leg.
     p.add_argument("--reps", type=int, default=1)
     p.add_argument("--cycles", type=int, default=3)
+    # Focus --scaling on a subset (e.g. a probe cycle at one pair): the
+    # full 2-mode x 2-pair matrix at a larger sf-dir costs hours.
+    p.add_argument("--scaling-pairs", default="4:16,8:32")
+    p.add_argument("--scaling-modes", default="full,banded")
     args = p.parse_args()
     if args.one_scaling_run:
         print(json.dumps(one_scaling_run(args)))

@@ -173,17 +173,19 @@ def _myers_unit_cost_batch(
     The reference computes the same distance as a dense Python DP
     (/root/reference/src/globalign/globaligner.py:317-392); this path is
     the unit-cost specialization, bit-for-bit equal to the Gotoh sweep
-    (fuzzed in tests/test_kernel_parity.py).
+    (fuzzed in tests/test_kernel_myers.py).
 
-    Blocked across words W = ceil(m_max/64) with explicit carry
-    propagation, and vectorized across the batch: every state array is a
-    contiguous (B,) uint64 per word (word-major layout — column views of
-    a (B, W) matrix would make every op strided). Per-pair pattern
-    lengths vary inside the batch: bits at rows >= m_p are garbage but
-    harmless, because carries in the word addition only travel from low
-    rows to high rows, so bit m_p - 1 never reads them. The per-pair
-    score is tracked at its own (word, bit) via per-word masks and
-    captured when the pair's text is fully consumed.
+    Layout: every per-word state lives in ROW w of a C-contiguous (W, B)
+    uint64 block, so the word-independent steps (D0/HP/HN/VP/VN logic,
+    Eq gather, score-bit masking, the shift-by-one with its cross-word
+    bit carries) each run as ONE numpy op over the whole block — only
+    the addition's carry propagation iterates over words. Per-pair
+    pattern lengths vary inside the batch: bits at rows >= m_p are
+    garbage but harmless, because carries only travel from low rows to
+    high rows, so bit m_p - 1 never reads them. Each pair's score bit is
+    isolated with a (W, B) mask + OR-reduce, and its running score is
+    captured when its text is fully consumed (captures pre-grouped by
+    text length).
 
     ``A``/``T`` are the encoded, zero-padded (B, m_max)/(B, n_max) uint8
     arrays from align_cost_batch; ``m``/``n`` the true lengths.
@@ -193,9 +195,12 @@ def _myers_unit_cost_batch(
     W = (m_max + 63) >> 6
     mp = W << 6
 
-    # Dense alphabet remap: Peq tables stay small enough for the per-
-    # iteration gather to live in L2 (webtext is <~100 distinct bytes).
-    used = np.union1d(np.unique(A), np.unique(T))
+    # Dense alphabet remap (presence scan, no sort): webtext is <~100
+    # distinct bytes, so the per-iteration Eq gather tables stay in L2.
+    present = np.zeros(256, dtype=bool)
+    present[A.reshape(-1)] = True
+    present[T.reshape(-1)] = True
+    used = np.nonzero(present)[0]
     lut = np.zeros(256, dtype=np.uint8)
     lut[used] = np.arange(used.size, dtype=np.uint8)
     nA = int(used.size)
@@ -203,9 +208,12 @@ def _myers_unit_cost_batch(
     Ad[:, :m_max] = lut[A]
     Td = lut[T].astype(np.int64)
 
-    # Peq[p][c] bit i of word w: pattern char at row 64w+i equals c.
-    # Built vectorized: one bool compare + packbits per 16-char alphabet
-    # slab (slabbing bounds the bool intermediate at ~B*16*mp bytes).
+    # Peq[w, p, c]: bit i of word w set iff pattern p's row 64w+i is char
+    # c. Built with one bool-compare + packbits pass per 16-char alphabet
+    # slab (bounds the bool intermediate at ~B*16*mp bytes), then
+    # transposed word-major once. Padding byte 0 maps to id lut[0]; its
+    # bits sit at rows >= m_p only (real text never contains byte 0), so
+    # no masking is needed.
     Pq = np.empty((B, nA, W), dtype=np.uint64)
     ids = np.arange(nA, dtype=np.uint8)
     for a0 in range(0, nA, 16):
@@ -214,42 +222,37 @@ def _myers_unit_cost_batch(
         Pq[:, a0:a1] = np.packbits(eq, axis=-1, bitorder="little").view(
             np.uint64
         )
-    # Padding byte maps to id lut[0]; its Peq bits sit at rows >= m_p
-    # only (real text never contains byte 0), so no masking is needed.
-    Peqf = [np.ascontiguousarray(Pq[:, :, w]).ravel() for w in range(W)]
+    Peqf = np.ascontiguousarray(Pq.transpose(2, 0, 1)).reshape(-1)
 
     wi = np.arange(W, dtype=np.int64)
     bits = np.clip(m[:, None] - 64 * wi[None, :], 0, 64)
-    VPm = np.where(
-        bits >= 64, _FULL64, (_U1 << bits.astype(np.uint64)) - _U1
-    ).astype(np.uint64)
-    VP = [np.ascontiguousarray(VPm[:, w]) for w in range(W)]
-    VN = [np.zeros(B, dtype=np.uint64) for _ in range(W)]
+    VP = np.ascontiguousarray(
+        np.where(
+            bits >= 64, _FULL64, (_U1 << bits.astype(np.uint64)) - _U1
+        ).astype(np.uint64).T
+    )  # (W, B): ones at rows < m_p
+    VN = np.zeros((W, B), dtype=np.uint64)
     score = m.astype(np.int64)
     sw = (m - 1) >> 6
     sb = _U1 << ((m - 1) & 63).astype(np.uint64)
-    sbw = [np.where(sw == w, sb, np.uint64(0)) for w in range(W)]
-    sact = [bool((sw == w).any()) for w in range(W)]
+    SB = np.where(sw[None, :] == wi[:, None], sb[None, :], np.uint64(0))
 
     out = np.empty(B, dtype=np.int64)
-    fidx = np.arange(B, dtype=np.int64) * nA
-    tidx = np.empty(B, dtype=np.int64)
-    Eq = [np.empty(B, dtype=np.uint64) for _ in range(W)]
-    S = [np.empty(B, dtype=np.uint64) for _ in range(W)]
-    D0 = [np.empty(B, dtype=np.uint64) for _ in range(W)]
-    HP = [np.empty(B, dtype=np.uint64) for _ in range(W)]
-    HN = [np.empty(B, dtype=np.uint64) for _ in range(W)]
-    Xc = np.empty(B, dtype=np.uint64)
-    carry = np.empty(B, dtype=np.uint64)
+    base = (wi[:, None] * B + np.arange(B)[None, :]) * nA  # flat Peq base
+    tix = np.empty((W, B), dtype=np.int64)
+    Eq = np.empty((W, B), dtype=np.uint64)
+    X = np.empty((W, B), dtype=np.uint64)
+    S = np.empty((W, B), dtype=np.uint64)
+    D0 = np.empty((W, B), dtype=np.uint64)
+    HP = np.empty((W, B), dtype=np.uint64)
+    HN = np.empty((W, B), dtype=np.uint64)
+    CI = np.empty((W, B), dtype=np.uint64)
+    CI2 = np.empty((W, B), dtype=np.uint64)
+    t_ = np.empty(B, dtype=np.uint64)
     c1 = np.empty(B, dtype=bool)
     c2 = np.empty(B, dtype=bool)
     cb = np.empty(B, dtype=bool)
-    bt = np.empty(B, dtype=bool)
-    t_ = np.empty(B, dtype=np.uint64)
-    hp_c = np.empty(B, dtype=np.uint64)
-    hn_c = np.empty(B, dtype=np.uint64)
-    hp_n = np.empty(B, dtype=np.uint64)
-    hn_n = np.empty(B, dtype=np.uint64)
+    carry = np.empty(B, dtype=np.uint64)
     last = W - 1
 
     # Capture schedule grouped by text length (replaces a nonzero() scan
@@ -258,68 +261,59 @@ def _myers_unit_cost_batch(
     starts = np.searchsorted(n[order], np.arange(1, n_max + 2))
 
     for j in range(1, n_max + 1):
-        np.add(fidx, Td[:, j - 1], out=tidx)
-        # D0 = (((Eq & VP) + VP) ^ VP) | Eq | VN, addition carried across
-        # words (carry-out: sum wrapped below an addend, or landed exactly
-        # on it while consuming a carry-in).
-        for w in range(W):
-            e = Eq[w]
-            np.take(Peqf[w], tidx, out=e)
-            np.bitwise_and(e, VP[w], out=Xc)
+        np.add(base, Td[:, j - 1][None, :], out=tix)
+        Peqf.take(tix, out=Eq)
+        # D0 = (((Eq & VP) + VP) ^ VP) | Eq | VN; the addition is word-
+        # local first, then carries ripple word to word (carry-out: sum
+        # wrapped below an addend, or landed exactly on it while
+        # consuming a carry-in).
+        np.bitwise_and(Eq, VP, out=X)
+        np.add(X, VP, out=S)
+        for w in range(last):
             s_ = S[w]
-            np.add(Xc, VP[w], out=s_)
+            xv = X[w]
             if w == 0:
-                np.less(s_, Xc, out=c1)
+                np.less(s_, xv, out=c1)
             else:
                 np.add(s_, carry, out=s_)
-                np.less(s_, Xc, out=c1)
-                np.equal(s_, Xc, out=c2)
+                np.less(s_, xv, out=c1)
+                np.equal(s_, xv, out=c2)
                 np.not_equal(carry, 0, out=cb)
                 np.bitwise_and(c2, cb, out=c2)
                 np.bitwise_or(c1, c2, out=c1)
-            if w != last:
-                carry[:] = c1
-        for w in range(W):
-            d = D0[w]
-            np.bitwise_xor(S[w], VP[w], out=d)
-            np.bitwise_or(d, Eq[w], out=d)
-            np.bitwise_or(d, VN[w], out=d)
-            hp = HP[w]
-            np.bitwise_or(d, VP[w], out=hp)
-            np.invert(hp, out=hp)
-            np.bitwise_or(hp, VN[w], out=hp)
-            hn = HN[w]
-            np.bitwise_and(VP[w], d, out=hn)
-            if sact[w]:
-                np.bitwise_and(hp, sbw[w], out=t_)
-                np.not_equal(t_, 0, out=bt)
-                score += bt
-                np.bitwise_and(hn, sbw[w], out=t_)
-                np.not_equal(t_, 0, out=bt)
-                score -= bt
-        # Shift HP/HN up one row (cross-word bit carry); bit 0 of word 0
+            carry[:] = c1
+        if last:
+            np.add(S[last], carry, out=S[last])
+        np.bitwise_xor(S, VP, out=D0)
+        np.bitwise_or(D0, Eq, out=D0)
+        np.bitwise_or(D0, VN, out=D0)
+        np.bitwise_or(D0, VP, out=HP)
+        np.invert(HP, out=HP)
+        np.bitwise_or(HP, VN, out=HP)
+        np.bitwise_and(VP, D0, out=HN)
+        # Per-pair score delta at bit m_p - 1 of word sw_p.
+        np.bitwise_and(HP, SB, out=CI)
+        np.bitwise_or.reduce(CI, axis=0, out=t_)
+        np.not_equal(t_, 0, out=c1)
+        score += c1
+        np.bitwise_and(HN, SB, out=CI)
+        np.bitwise_or.reduce(CI, axis=0, out=t_)
+        np.not_equal(t_, 0, out=c1)
+        score -= c1
+        # Shift HP/HN up one row across the whole block; bit 0 of word 0
         # gets the D(0,j) = j boundary (+1 horizontal delta).
-        hp_c[:] = 1
-        hn_c[:] = 0
-        for w in range(W):
-            hp = HP[w]
-            hn = HN[w]
-            d = D0[w]
-            if w != last:
-                np.right_shift(hp, _U63, out=hp_n)
-                np.right_shift(hn, _U63, out=hn_n)
-            np.left_shift(hp, _U1, out=hp)
-            np.bitwise_or(hp, hp_c, out=hp)
-            np.left_shift(hn, _U1, out=hn)
-            np.bitwise_or(hn, hn_c, out=hn)
-            hp_c, hp_n = hp_n, hp_c
-            hn_c, hn_n = hn_n, hn_c
-            vp = VP[w]
-            vn = VN[w]
-            np.bitwise_or(hp, d, out=vp)
-            np.invert(vp, out=vp)
-            np.bitwise_or(vp, hn, out=vp)
-            np.bitwise_and(hp, d, out=vn)
+        np.right_shift(HP[:last], _U63, out=CI[1:])
+        CI[0] = 1
+        np.left_shift(HP, _U1, out=HP)
+        np.bitwise_or(HP, CI, out=HP)
+        np.right_shift(HN[:last], _U63, out=CI2[1:])
+        CI2[0] = 0
+        np.left_shift(HN, _U1, out=HN)
+        np.bitwise_or(HN, CI2, out=HN)
+        np.bitwise_or(HP, D0, out=VP)
+        np.invert(VP, out=VP)
+        np.bitwise_or(VP, HN, out=VP)
+        np.bitwise_and(HP, D0, out=VN)
         s0, s1 = starts[j - 1], starts[j]
         if s1 > s0:
             cap = order[s0:s1]
@@ -375,12 +369,15 @@ def align_cost_batch(
     m_max = int(m.max())
     n_max = int(n.max())
 
-    A = np.zeros((B, m_max), dtype=np.uint8)
-    Bc = np.zeros((B, n_max), dtype=np.uint8)
-    for p, s in enumerate(seqs1):
-        A[p, : m[p]] = encode(s)
-    for p, s in enumerate(seqs2):
-        Bc[p, : n[p]] = encode(s)
+    # Vectorized batch encode: one fixed-width-bytes conversion instead
+    # of a per-pair frombuffer loop (ASCII validated upstream; shorter
+    # strings zero-pad, same as the old loop).
+    A = np.asarray(seqs1, dtype=f"S{m_max}").view(np.uint8).reshape(
+        B, m_max
+    )
+    Bc = np.asarray(seqs2, dtype=f"S{n_max}").view(np.uint8).reshape(
+        B, n_max
+    )
     BcT = np.ascontiguousarray(Bc.T)  # (n_max, B)
 
     in_alpha = bool(cp.alpha_pad_mask[A].all()) and bool(

@@ -25,6 +25,7 @@ Scale design (this is what must hold at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -215,14 +216,26 @@ def score_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cp = CompiledParams(params)
+        # Transport probe (diagnostic only): GA_SCORE_NOOP=1 skips the
+        # kernel and emits zeros, so (normal wall) - (noop wall) isolates
+        # kernel time from scan/join/Arrow/pandas transport when tuning
+        # the scoring stage. Never set in production or tests.
+        noop = os.environ.get("GA_SCORE_NOOP") == "1"
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             t1 = pdf[text_1].to_numpy()
             t2 = pdf[text_2].to_numpy()
-            cost, score, oversize, over_band = _score_chunk(
-                t1, t2, cp, cell_cap, sim_threshold
-            )
+            if noop:
+                k = len(pdf)
+                cost = np.zeros(k, dtype=np.int64)
+                score = np.zeros(k, dtype=np.int64)
+                oversize = np.zeros(k, dtype=bool)
+                over_band = np.zeros(k, dtype=bool)
+            else:
+                cost, score, oversize, over_band = _score_chunk(
+                    t1, t2, cp, cell_cap, sim_threshold
+                )
             out = pdf[keep_cols].copy()
             out["len_1"] = [len(s) for s in t1]
             out["len_2"] = [len(s) for s in t2]
