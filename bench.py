@@ -368,6 +368,10 @@ def scaling_main(args) -> dict:
     report = {
         "metric": "candidate-pairs-scored/sec at N vs 4N cores (local[N])",
         "sf": _sf_of(args.sf_dir),
+        "sf_dir": args.sf_dir,
+        # Which kernel the scorer legs ran (GA_MYERS=0 forces the compute-
+        # bound Gotoh sweep — the framework-validation configuration).
+        "myers_path": os.environ.get("GA_MYERS", "1") != "0",
         "levels": {f"{m}_local{n}": r for (m, n), r in res.items()},
         "scaling_efficiency": effs,
         "scaling_efficiency_per_cycle": cycle_effs,
