@@ -144,35 +144,55 @@ def isolate_main(args) -> dict:
     process (own JVM, own SparkSession), so its timing reflects the query
     rather than session history. ~8 s session startup per query is paid by
     the harness, not the measurement (bench_main's warm-up query runs
-    inside each child before timing)."""
+    inside each child before timing).
+
+    ``--reps N`` repeats each query in N separate children, interleaved
+    round-robin across the name list (so a transient neighbor-load window
+    poisons at most one sample per query, not one query's whole set), and
+    reports the per-query MEDIAN plus all samples — this box's per-query
+    walls swing 2-4x with external load, so single samples are weak
+    evidence either direction."""
+    import statistics
+
     names = args.queries.split(",") if args.queries else HEADLINE
-    times: dict[str, float] = {}
-    for name in names:
-        cmd = [
-            sys.executable, str(REPO / "bench.py"),
-            "--sf-dir", args.sf_dir, "--queries", name,
-        ]
-        if args.master:
-            cmd += ["--master", args.master]
-        print(f"# isolate: {name} ...", file=sys.stderr, flush=True)
-        proc = subprocess.run(cmd, capture_output=True, text=True)
-        if proc.returncode != 0:
-            # Surface the child's diagnostics and keep the sweep alive:
-            # one OOMing query must not discard 33 measured timings.
-            print(f"# isolate {name}: FAILED rc={proc.returncode}",
+    reps = max(1, args.reps)
+    samples: dict[str, list] = {n: [] for n in names}
+    for rep in range(reps):
+        for name in names:
+            cmd = [
+                sys.executable, str(REPO / "bench.py"),
+                "--sf-dir", args.sf_dir, "--queries", name,
+            ]
+            if args.master:
+                cmd += ["--master", args.master]
+            print(f"# isolate: {name} (rep {rep + 1}/{reps}) ...",
                   file=sys.stderr, flush=True)
-            print(proc.stderr[-4000:], file=sys.stderr, flush=True)
-            times[name] = None
-            continue
-        child = json.loads(proc.stdout.strip().splitlines()[-1])
-        times[name] = child["queries"][name]
-        print(f"# isolate {name}: {times[name]}s", file=sys.stderr,
-              flush=True)
+            proc = subprocess.run(cmd, capture_output=True, text=True)
+            if proc.returncode != 0:
+                # Surface the child's diagnostics and keep the sweep alive:
+                # one OOMing query must not discard 33 measured timings.
+                print(f"# isolate {name}: FAILED rc={proc.returncode}",
+                      file=sys.stderr, flush=True)
+                print(proc.stderr[-4000:], file=sys.stderr, flush=True)
+                samples[name].append(None)
+                continue
+            child = json.loads(proc.stdout.strip().splitlines()[-1])
+            samples[name].append(child["queries"][name])
+            print(f"# isolate {name}: {samples[name][-1]}s",
+                  file=sys.stderr, flush=True)
+    times = {
+        n: (round(statistics.median(good), 3) if (good := [
+            t for t in samples[n] if t is not None
+        ]) else None)
+        for n in names
+    }
     return {
-        "metric": "per-query wall time, fresh session each (isolated)",
+        "metric": "per-query wall time, fresh session each (isolated, "
+                  f"median of {reps})",
         "value": round(sum(t for t in times.values() if t is not None), 3),
         "unit": "sec",
         "queries": times,
+        "samples": samples,
         "n_failed": sum(1 for t in times.values() if t is None),
         "sf": _sf_of(args.sf_dir),
         "isolated": True,
