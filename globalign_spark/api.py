@@ -12,6 +12,7 @@ line-wrapped printout and stdout/file sinks
 from __future__ import annotations
 
 import math
+import os
 from pathlib import Path
 from typing import NamedTuple
 
@@ -124,6 +125,12 @@ def find_global_alignment(
     (/root/reference/src/globalign/start.py:150-353): mutually-exclusive
     input and matrix option groups, '-' forbidden in sequences, uppercase
     normalization, m*n < 20M admission cap.
+
+    Beyond-reference escape hatch: GA_LINEAR_TRACEBACK=1 switches the
+    traceback to the O(m+n)-memory Myers-Miller path (hirschberg.py) and
+    lifts the cell cap (which exists to bound the dense lattices' memory;
+    time stays O(m*n), so very large pairs are slow but safe). Default
+    behavior is byte-identical to the reference.
     """
     if output is not None:
         out = Path(output)
@@ -146,7 +153,13 @@ def find_global_alignment(
             "does not make sense."
         )
 
-    check_seq_lengths(seq_1, seq_2)
+    linear = os.environ.get("GA_LINEAR_TRACEBACK", "0") == "1"
+    if linear:
+        # Linear-space traceback has no lattice-memory wall; keep only the
+        # zero-length guard from the reference's admission check.
+        check_seq_lengths(seq_1, seq_2, cap=None)
+    else:
+        check_seq_lengths(seq_1, seq_2)
     if M.GAP in seq_1 or M.GAP in seq_2:
         raise RuntimeError(
             "'-' characters are not allowed in sequences (reserved gap symbol)"
@@ -175,7 +188,12 @@ def find_global_alignment(
                 f"sequences contain letters not in the scoring matrix: {missing}"
             )
 
-    aln = align_full(seq_1, seq_2, params)
+    if linear:
+        from .hirschberg import align_full_linear
+
+        aln = align_full_linear(seq_1, seq_2, params)
+    else:
+        aln = align_full(seq_1, seq_2, params)
     return AlignmentResults(
         seq_1_aligned=aln["seq_1_aligned"],
         middle_part=aln["middle_part"],

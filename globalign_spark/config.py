@@ -224,9 +224,13 @@ def unit_cost_params(alphabet: str | list[str] | None = None) -> AlignParams:
     )
 
 
-def check_seq_lengths(seq_1: str, seq_2: str, cap: int = MAX_SEQ_LEN_PROD) -> None:
+def check_seq_lengths(
+    seq_1: str, seq_2: str, cap: int | None = MAX_SEQ_LEN_PROD
+) -> None:
+    """cap=None keeps only the zero-length guard (linear-space traceback
+    has no lattice-memory wall to admit against)."""
     prod = len(seq_1) * len(seq_2)
-    if not prod < cap:
+    if cap is not None and not prod < cap:
         raise RuntimeError(
             f"sequences too long: product of lengths must be < {cap}, "
             f"got {len(seq_1)} x {len(seq_2)}"

@@ -164,6 +164,32 @@ def test_linear_long_pair_low_memory():
     assert lin["seq_2_aligned"].count("-") >= 100
 
 
+def test_api_linear_escape_hatch(monkeypatch):
+    """GA_LINEAR_TRACEBACK=1 lifts the reference's 20M-cell admission cap
+    in find_global_alignment and routes through hirschberg; default
+    behavior (reference parity) still hard-errors."""
+    from globalign_spark.api import find_global_alignment
+
+    rng = random.Random(3)
+    a = "".join(rng.choice("ACGT") for _ in range(5000))
+    b = a[:4500] + "".join(rng.choice("ACGT") for _ in range(500))
+    assert len(a) * len(b) >= 20_000_000
+    monkeypatch.delenv("GA_LINEAR_TRACEBACK", raising=False)
+    with pytest.raises(RuntimeError, match="too long"):
+        find_global_alignment(seq_1=a, seq_2=b, match_score=2,
+                              mismatch_score=-3, gap_open_score=-4,
+                              gap_extension_score=-2)
+    monkeypatch.setenv("GA_LINEAR_TRACEBACK", "1")
+    res = find_global_alignment(seq_1=a, seq_2=b, match_score=2,
+                                mismatch_score=-3, gap_open_score=-4,
+                                gap_extension_score=-2)
+    assert res.seq_1_aligned.replace("-", "") == a
+    assert res.seq_2_aligned.replace("-", "") == b
+    assert alignment_cost(res.seq_1_aligned, res.seq_2_aligned, SCORED) == res.cost
+    # identical first 4500 chars => at least that many match columns
+    assert res.middle_part.count("|") >= 4400
+
+
 def test_evaluator_rejects_malformed():
     with pytest.raises(ValueError):
         alignment_cost("A-", "A", UNIT)
