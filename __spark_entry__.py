@@ -148,7 +148,10 @@ def q_align_pairs_oversize(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the DP cell cap are scored by linear shingle Jaccard instead of
     being NULLed/dropped — every candidate pair comes back with a
     similarity and a ``method`` lineage column. cell_cap=40k makes both
-    routes carry real traffic on this corpus (~25% gotoh / 75% shingle)."""
+    routes carry real traffic on this corpus (~25% gotoh / 75% shingle).
+    myers_cap_mult=1 pins routing at the literal cap so the SQL twin's
+    ``cells <= 40000`` predicate stays exact (production default is 64x
+    for unit-cost configs — scoring.effective_cell_cap)."""
     from globalign_spark.pipeline.scoring import score_pairs_with_fallback
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -160,7 +163,8 @@ def q_align_pairs_oversize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = a.join(F.broadcast(b), "source").where(F.col("id_1") < F.col("id_2"))
     return score_pairs_with_fallback(
-        pairs, unit_cost_params(), cell_cap=40_000, shingle_k=5
+        pairs, unit_cost_params(), cell_cap=40_000, shingle_k=5,
+        myers_cap_mult=1,
     )
 
 

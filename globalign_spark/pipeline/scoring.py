@@ -150,6 +150,36 @@ def _score_chunk(
     return cost, score, ~ok, over_band
 
 
+def effective_cell_cap(
+    params: AlignParams, cell_cap: int, myers_cap_mult: int = 64
+) -> int:
+    """Admission cap adjusted for the kernel that will actually run.
+
+    ``cell_cap`` bounds per-pair work AND lattice memory for the dense
+    Gotoh sweep. Unit-cost configs (the ER pipeline default) dispatch to
+    the Myers bit-parallel kernel instead (kernel.align_cost_batch),
+    which does ~64 DP cells per word-op in O(n) rolling memory — the
+    same time budget admits ~64x the cells, and there is no lattice to
+    blow up. So the oversize predicate multiplies the cap by
+    ``myers_cap_mult`` (default 64) when the Myers path will run:
+    fewer pairs get routed to the approximate shingle fallback, which at
+    web scale means exact scores for exactly the template-heavy long
+    pages most likely to be near-duplicates. Pass ``myers_cap_mult=1``
+    to pin routing at the literal cap (oracle-pinned queries do).
+
+    The dispatch decision is made driver-side from the same GA_MYERS
+    env default the executors read; on a real cluster ship GA_MYERS via
+    spark.executorEnv so both sides agree (local mode shares the env).
+    """
+    if (
+        myers_cap_mult > 1
+        and kernel_mod._MYERS_ON
+        and CompiledParams(params).is_unit_cost
+    ):
+        return cell_cap * myers_cap_mult
+    return cell_cap
+
+
 def score_pairs(
     pairs: DataFrame,
     params: AlignParams,
@@ -159,6 +189,7 @@ def score_pairs(
     sort_by_length: bool = False,
     keep_texts: bool = False,
     sim_threshold: float | None = None,
+    myers_cap_mult: int = 64,
 ) -> DataFrame:
     """Score a candidate-pairs DataFrame with the batched Gotoh kernel.
 
@@ -187,7 +218,12 @@ def score_pairs(
     the similarity threshold; pairs certified below it come back with
     cost/score NULL and ``over_band = true`` (explicit lineage, not a
     silent drop) at a fraction of the lattice cells.
+
+    ``myers_cap_mult``: see :func:`effective_cell_cap` — unit-cost
+    configs admit cap*mult cells because the Myers kernel has no lattice
+    and ~64x the cell throughput. Set 1 to pin routing at the literal cap.
     """
+    cell_cap = effective_cell_cap(params, cell_cap, myers_cap_mult)
     if sort_by_length:
         # Same (m-tile, n) key as the Python-side chunker, so consecutive
         # Arrow batches hold shape-homogeneous runs.
@@ -262,13 +298,18 @@ def score_pairs_with_fallback(
     cell_cap: int = ENGINE_FULL_DP_CELL_CAP,
     sim_threshold: float | None = None,
     shingle_k: int = 5,
+    myers_cap_mult: int = 64,
 ) -> DataFrame:
     """Similarity for EVERY candidate pair — no silent drops, no NULL rows.
 
-    Routes each pair by DP size, JVM-side, before any Python crossing:
-      - ``m*n <= cell_cap``: exact Gotoh alignment similarity
+    Routes each pair by DP size, JVM-side, before any Python crossing
+    (the routing cap is ``effective_cell_cap(params, cell_cap,
+    myers_cap_mult)`` — 64x the literal cap for unit-cost configs, whose
+    Myers kernel has no lattice memory and ~64 cells/word-op; pass
+    ``myers_cap_mult=1`` to pin routing at the literal cap):
+      - ``m*n <= cap``: exact Gotoh alignment similarity
         (1 - cost/max(len), the ER edge measure), ``method = 'gotoh'``.
-      - ``m*n > cell_cap``: k-char shingle Jaccard (linear in text length,
+      - ``m*n > cap``: k-char shingle Jaccard (linear in text length,
         reusing ops.dedup.pair_gram_overlap), ``method = 'shingle'``.
 
     Output: (id_1, id_2, method, similarity) for all input pairs. The two
@@ -300,20 +341,22 @@ def score_pairs_with_fallback(
         F.lit("gotoh").alias("method"),
         F.lit(0.0).alias("similarity"),
     )
+    cap = effective_cell_cap(params, cell_cap, myers_cap_mult)
     cells = (
         F.length(F.col(text_1)).cast("long") * F.length(F.col(text_2)).cast("long")
     )
     nn = pairs.where(~has_null)
-    small = nn.where(cells <= cell_cap)
-    big = nn.where(cells > cell_cap)
+    small = nn.where(cells <= cap)
+    big = nn.where(cells > cap)
 
     scored = score_pairs(
         small,
         params,
         text_1=text_1,
         text_2=text_2,
-        cell_cap=cell_cap,
+        cell_cap=cap,
         sim_threshold=sim_threshold,
+        myers_cap_mult=1,  # cap already effective; don't multiply twice
     )
     sim = 1.0 - F.col("cost") / F.greatest(F.col("len_1"), F.col("len_2"))
     gotoh = scored.select(

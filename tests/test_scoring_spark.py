@@ -89,7 +89,8 @@ def test_oversize_routed_not_dropped(spark):
         "pair_id long, text_1 string, text_2 string",
     )
     rows = {r.pair_id: r for r in
-            score_pairs(df, params, cell_cap=1_000_000).collect()}
+            score_pairs(df, params, cell_cap=1_000_000,
+                        myers_cap_mult=1).collect()}
     assert rows[0].oversize and rows[0].cost is None
     assert not rows[1].oversize and rows[1].cost == 0
 
@@ -126,9 +127,40 @@ def test_fallback_null_text_not_dropped(spark):
         "id_1 long, id_2 long, text_1 string, text_2 string",
     )
     rows = {r.id_1: r for r in
-            score_pairs_with_fallback(df, params, cell_cap=10_000).collect()}
+            score_pairs_with_fallback(df, params, cell_cap=10_000,
+                                      myers_cap_mult=1).collect()}
     assert set(rows) == {0, 1, 2, 3, 4}, "no pair may be dropped"
     for i in (0, 1, 2):
         assert rows[i].method == "gotoh" and rows[i].similarity == 0.0
     assert rows[3].similarity == 1.0
     assert rows[4].method == "shingle"
+
+
+def test_myers_cap_mult_routing(spark):
+    """Unit-cost configs admit cell_cap*64 cells exactly (Myers kernel:
+    no lattice, ~64 cells/word-op); mult=1 pins the literal cap; non-unit
+    configs never get the multiplier."""
+    from globalign_spark.pipeline.scoring import (
+        effective_cell_cap,
+        score_pairs_with_fallback,
+    )
+
+    unit = unit_cost_params("AB")
+    affine = resolve_params(alphabet="AB", match_score=2, mismatch_score=-3,
+                            gap_open_score=-4, gap_extension_score=-2)
+    assert effective_cell_cap(unit, 10_000) == 640_000
+    assert effective_cell_cap(unit, 10_000, myers_cap_mult=1) == 10_000
+    assert effective_cell_cap(affine, 10_000) == 10_000
+
+    # 200x200 = 40k cells: over the 10k literal cap, inside the 640k
+    # Myers-effective cap -> exact gotoh route by default for unit cost.
+    df = spark.createDataFrame(
+        [(0, 1, "AB" * 100, "AB" * 100)],
+        "id_1 long, id_2 long, text_1 string, text_2 string",
+    )
+    row = score_pairs_with_fallback(df, unit, cell_cap=10_000).collect()[0]
+    assert row.method == "gotoh" and row.similarity == 1.0
+    row = score_pairs_with_fallback(
+        df, affine, cell_cap=10_000
+    ).collect()[0]
+    assert row.method == "shingle"
