@@ -190,7 +190,14 @@ def _diff(
     tot_dd = DDf + DDb[::-1] - np.int64(go)
     j_cc = int(np.argmin(tot_cc))
     j_dd = int(np.argmin(tot_dd))
-    if int(tot_cc[j_cc]) <= int(tot_dd[j_dd]):
+    cc_best = int(tot_cc[j_cc])
+    dd_best = int(tot_dd[j_dd])
+    # Only the split column survives past this point. Free the six O(n)
+    # row arrays BEFORE recursing: held across the ~log2(m) live
+    # recursion levels they would make peak memory O(n log m), not the
+    # O(m + n) this module exists to provide.
+    del CCf, DDf, CCb, DDb, tot_cc, tot_dd
+    if cc_best <= dd_best:
         j = j_cc
         _diff(s1[:i1], s2[:j], a[:i1], b[:j], cp, tb, go, out)
         _diff(s1[i1:], s2[j:], a[i1:], b[j:], cp, go, te, out)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import round6
+
 # BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
 BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 
@@ -79,21 +81,14 @@ def add_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         - f["punct_ratio"]
     )
-    # 6-dp rounding via floor(x*1e6 + 0.5)/1e6, NOT F.round: Spark rounds
-    # the exact BigDecimal expansion of the double (HALF_UP) while DuckDB
-    # rounds through a float multiply, and the two disagree on half-ulp
-    # ties (seen at gen-sf0.1: 0.553187 vs 0.553188). The floor form is a
-    # pure float procedure both engines compute bit-identically; valid
-    # here because the operands are clamped >= 0.
+    # Tie-robust 6-dp rounding (similarity.round6), NOT F.round — see the
+    # helper's docstring for the Spark/DuckDB half-ulp divergence it
+    # exists to avoid; valid here because the operands are clamped >= 0.
     clamped = F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
-    score = F.floor(clamped * 1e6 + F.lit(0.5)) / 1e6
     return (
         df.withColumn("n_tokens", f["n_tokens"])
-        .withColumn(
-            "stopword_ratio",
-            F.floor(f["stopword_ratio"] * 1e6 + F.lit(0.5)) / 1e6,
-        )
-        .withColumn("quality_score", score)
+        .withColumn("stopword_ratio", round6(f["stopword_ratio"]))
+        .withColumn("quality_score", round6(clamped))
     )
 
 

@@ -105,8 +105,16 @@ def lsh_candidates(
     seed: int = 1,
     over_cap_window: int = 8,
     est_jaccard_floor: float = 0.0,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate id pairs from banded MinHash LSH.
+
+    ``cache_registry``: with ``est_jaccard_floor`` > 0 the screened
+    candidate frame is lazily persisted so the stats branch and the pairs
+    branch share one execution; pass a list to receive that persisted
+    frame and ``unpersist()`` it once both branches have run (the
+    orchestrator does, right after the stage-1 checkpoint write) —
+    otherwise the cache lives until the session ends.
 
     Returns (pairs, stats): pairs(id_1, id_2) distinct with id_1 < id_2;
     stats is a 1-row frame of bucket/candidate accounting (lineage — nothing
@@ -243,6 +251,8 @@ def lsh_candidates(
             # MEMORY_AND_DISK so a huge candidate set spills, not OOMs.
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if cache_registry is not None:
+            cache_registry.append(est)
         # Drop accounting rides on the stats frame (crossJoin of two 1-row
         # aggregates). coalesce: F.sum over an EMPTY frame is NULL, and
         # the lineage contract is a counted zero, not None.

@@ -192,6 +192,7 @@ def run_pipeline(
         )
 
     if not ck.has("s1_candidates"):
+        s1_caches: list = []
         lsh_pairs, lsh_stats = blocking.lsh_candidates(
             norm,
             id_col="url",
@@ -202,6 +203,7 @@ def run_pipeline(
             bucket_cap=cfg.bucket_cap,
             over_cap_window=cfg.over_cap_window,
             est_jaccard_floor=cfg.est_jaccard_floor,
+            cache_registry=s1_caches,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",
@@ -220,6 +222,11 @@ def run_pipeline(
         cand = lsh_pairs.union(sn_pairs).union(sn_rev).distinct()
         stats_row = lsh_stats.collect()[0].asDict()
         cand = ck.write("s1_candidates", cand, meta={"lsh_bucket_stats": stats_row})
+        # Both readers of the screened-candidate cache (stats collect,
+        # checkpoint write) have run; release it so repeated runs in one
+        # session don't accumulate dead cached partitions.
+        for frame in s1_caches:
+            frame.unpersist()
     else:
         cand = ck.read("s1_candidates")
 

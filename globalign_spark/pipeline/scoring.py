@@ -25,7 +25,6 @@ Scale design (this is what must hold at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,14 +52,48 @@ BATCH_CELL_BUDGET = int(
 )
 
 
+def _in_alpha_mask(
+    texts: np.ndarray, idx: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """Per-pair alphabet eligibility for the Myers dispatch (bool over idx).
+
+    Mirrors the kernel's own batch-level ``in_alpha`` gate
+    (kernel.align_cost_batch) but per STRING, so one stray character
+    demotes only its own pair to the dense budget/cap, not the whole
+    chunk. Non-ASCII marks ineligible (the dense path then raises the
+    same UnicodeEncodeError the kernel always has for non-ASCII input).
+    """
+    out = np.zeros(idx.size, dtype=bool)
+    for k, p in enumerate(idx):
+        try:
+            bs = texts[p].encode("ascii")
+        except UnicodeEncodeError:
+            continue
+        out[k] = bool(mask[np.frombuffer(bs, dtype=np.uint8)].all())
+    return out
+
+
 def _score_chunk(
     t1: np.ndarray,
     t2: np.ndarray,
     cp: CompiledParams,
     cell_cap: int,
     sim_threshold: float | None = None,
+    dense_cell_cap: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Score one pandas chunk; returns (cost, score, oversize, over_band).
+
+    ``cell_cap`` is the admission cap for pairs the Myers bit-parallel
+    kernel will actually run (unit-cost config AND both texts
+    in-alphabet); ``dense_cell_cap`` (default = cell_cap) caps pairs that
+    will fall back to the dense Gotoh sweep. The split is decided PER
+    PAIR here — the kernel's Myers dispatch requires the whole batch
+    in-alphabet, so eligible and ineligible pairs are chunked into
+    separate batches, each at its own cache budget (8x for Myers, whose
+    working set is words + Peq tables, 1x for the int16 lattice slabs).
+    Without the split, one out-of-alphabet character would demote a whole
+    chunk to the dense sweep at 8x its tuned budget with pairs up to
+    cell_cap (64x the dense cap) admitted — multi-minute stragglers.
 
     With ``sim_threshold`` set, scoring is Ukkonen-banded: each pair only
     needs its cost when similarity >= threshold, i.e. cost <= cap(p) =
@@ -70,11 +103,24 @@ def _score_chunk(
     the cells at document shapes. over_band pairs get cost = -1 here; the
     caller nulls them.
     """
+    if dense_cell_cap is None:
+        dense_cell_cap = cell_cap
     k = len(t1)
     lens1 = np.array([len(s) for s in t1], dtype=np.int64)
     lens2 = np.array([len(s) for s in t2], dtype=np.int64)
     cells = lens1 * lens2
-    ok = (cells > 0) & (cells <= cell_cap)
+    elig = np.zeros(k, dtype=bool)
+    if cp.is_unit_cost and kernel_mod._MYERS_ON:
+        # Only scan texts of pairs that could be admitted at all.
+        cand = np.nonzero(
+            (cells > 0) & (cells <= max(cell_cap, dense_cell_cap))
+        )[0]
+        if cand.size:
+            elig[cand] = _in_alpha_mask(
+                t1, cand, cp.alpha_pad_mask
+            ) & _in_alpha_mask(t2, cand, cp.alpha_pad_mask)
+    limit = np.where(elig, cell_cap, dense_cell_cap)
+    ok = (cells > 0) & (cells <= limit)
     cost = np.full(k, -1, dtype=np.int64)
     score = np.full(k, 0, dtype=np.int64)
     over_band = np.zeros(k, dtype=bool)
@@ -94,14 +140,9 @@ def _score_chunk(
     # Measured on tools/kernel_bench.py at 32 pinned workers, 300x300:
     # chunks of ~1k-2k pairs run 163k pairs/s box-wide; ~6k-pair chunks
     # push the Peq tables out of per-core L2 and collapse to 65k.
-    cell_budget = (
-        BATCH_CELL_BUDGET * 8
-        if cp.is_unit_cost and kernel_mod._MYERS_ON
-        else BATCH_CELL_BUDGET
-    )
-
-    idx = np.nonzero(ok)[0]
-    if idx.size:
+    def run_group(idx: np.ndarray, cell_budget: int) -> None:
+        if not idx.size:
+            return
         # Shape-homogeneous chunking. Sort key is (m-tile, n): tiling m into
         # 64-wide bands then ordering by n keeps BOTH padded dimensions
         # tight inside a chunk — a plain (m, n) lexsort lets n ratchet to
@@ -143,11 +184,22 @@ def _score_chunk(
             cost[sel] = c
             score[sel] = cp.final_score(c, lens1[sel], lens2[sel])
             start = end
+
+    # Eligible pairs chunk at the Myers budget; ineligible ones (out-of-
+    # alphabet text, or any non-unit-cost config) at the dense budget.
+    run_group(np.nonzero(ok & elig)[0], BATCH_CELL_BUDGET * 8)
+    run_group(np.nonzero(ok & ~elig)[0], BATCH_CELL_BUDGET)
     if banded:
         over_band = ok & (cost > cap)
         cost[over_band] = -1
         score[over_band] = 0
     return cost, score, ~ok, over_band
+
+
+def _alpha_string(params: AlignParams) -> str:
+    """The scoring alphabet as a literal string (for F.translate checks)."""
+    mask = CompiledParams(params).alpha_pad_mask
+    return "".join(chr(i) for i in np.nonzero(mask)[0] if i)
 
 
 def effective_cell_cap(
@@ -190,6 +242,7 @@ def score_pairs(
     keep_texts: bool = False,
     sim_threshold: float | None = None,
     myers_cap_mult: int = 64,
+    transport_probe: bool = False,
 ) -> DataFrame:
     """Score a candidate-pairs DataFrame with the batched Gotoh kernel.
 
@@ -222,7 +275,19 @@ def score_pairs(
     ``myers_cap_mult``: see :func:`effective_cell_cap` — unit-cost
     configs admit cap*mult cells because the Myers kernel has no lattice
     and ~64x the cell throughput. Set 1 to pin routing at the literal cap.
+    The multiplied cap is enforced PER PAIR: a pair whose text falls
+    outside the scoring alphabet can't take the Myers path, so it is
+    admitted only up to the literal ``cell_cap`` (NULL + ``oversize``
+    lineage above it, same as any oversize pair) instead of running the
+    dense sweep at 64x its budget.
+
+    ``transport_probe`` (diagnostic only): skip the kernel and emit
+    zeros, so (normal wall) - (probe wall) isolates kernel time from
+    scan/join/Arrow/pandas transport when tuning the scoring stage.
+    An explicit parameter, not an env var: a leaked env var would
+    silently turn every candidate pair into a similarity-1.0 edge.
     """
+    dense_cell_cap = cell_cap
     cell_cap = effective_cell_cap(params, cell_cap, myers_cap_mult)
     if sort_by_length:
         # Same (m-tile, n) key as the Python-side chunker, so consecutive
@@ -252,17 +317,12 @@ def score_pairs(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cp = CompiledParams(params)
-        # Transport probe (diagnostic only): GA_SCORE_NOOP=1 skips the
-        # kernel and emits zeros, so (normal wall) - (noop wall) isolates
-        # kernel time from scan/join/Arrow/pandas transport when tuning
-        # the scoring stage. Never set in production or tests.
-        noop = os.environ.get("GA_SCORE_NOOP") == "1"
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             t1 = pdf[text_1].to_numpy()
             t2 = pdf[text_2].to_numpy()
-            if noop:
+            if transport_probe:
                 k = len(pdf)
                 cost = np.zeros(k, dtype=np.int64)
                 score = np.zeros(k, dtype=np.int64)
@@ -270,7 +330,7 @@ def score_pairs(
                 over_band = np.zeros(k, dtype=bool)
             else:
                 cost, score, oversize, over_band = _score_chunk(
-                    t1, t2, cp, cell_cap, sim_threshold
+                    t1, t2, cp, cell_cap, sim_threshold, dense_cell_cap
                 )
             out = pdf[keep_cols].copy()
             out["len_1"] = [len(s) for s in t1]
@@ -346,8 +406,21 @@ def score_pairs_with_fallback(
         F.length(F.col(text_1)).cast("long") * F.length(F.col(text_2)).cast("long")
     )
     nn = pairs.where(~has_null)
-    small = nn.where(cells <= cap)
-    big = nn.where(cells > cap)
+    if cap != cell_cap:
+        # The widened cap assumes the Myers kernel runs, which requires
+        # BOTH texts inside the scoring alphabet — check that JVM-side
+        # (translate scan, one pass per text) so an out-of-alphabet pair
+        # between the literal and widened caps routes to the linear
+        # shingle branch instead of a 64x-budget dense-DP straggler.
+        alpha = _alpha_string(params)
+        in_alpha = (
+            F.length(F.translate(F.col(text_1), alpha, "")) == 0
+        ) & (F.length(F.translate(F.col(text_2), alpha, "")) == 0)
+        small_pred = (cells <= cell_cap) | (in_alpha & (cells <= cap))
+    else:
+        small_pred = cells <= cap
+    small = nn.where(small_pred)
+    big = nn.where(~small_pred)
 
     scored = score_pairs(
         small,

@@ -164,3 +164,55 @@ def test_myers_cap_mult_routing(spark):
         df, affine, cell_cap=10_000
     ).collect()[0]
     assert row.method == "shingle"
+
+
+def test_out_of_alphabet_pair_not_admitted_at_myers_cap(spark):
+    """The widened (64x) admission cap only applies to pairs the Myers
+    kernel will actually run — both texts in-alphabet. A pair with one
+    out-of-alphabet character and cells between the literal and widened
+    caps must NOT run the dense sweep at 64x its budget: the fallback
+    routes it to the linear shingle branch, and score_pairs marks it
+    oversize (NULL + lineage), while in-alphabet neighbors in the same
+    chunk keep their exact gotoh route."""
+    from globalign_spark.pipeline.scoring import score_pairs_with_fallback
+
+    unit = unit_cost_params("AB")
+    good = "AB" * 100          # 200 chars, in-alphabet
+    bad = "AB" * 99 + "AZ"     # 200 chars, 'Z' outside {A,B}
+    df = spark.createDataFrame(
+        [(0, 1, good, good), (2, 3, bad, good)],
+        "id_1 long, id_2 long, text_1 string, text_2 string",
+    )
+    # 200x200 = 40k cells: over the 10k literal cap, inside the 640k
+    # Myers-effective cap.
+    rows = {
+        r.id_1: r
+        for r in score_pairs_with_fallback(
+            df, unit, cell_cap=10_000
+        ).collect()
+    }
+    assert rows[0].method == "gotoh" and rows[0].similarity == 1.0
+    assert rows[2].method == "shingle"
+
+    scored = {
+        r.id_1: r
+        for r in score_pairs(df, unit, cell_cap=10_000).collect()
+    }
+    assert scored[0].cost == 0 and not scored[0].oversize
+    assert scored[2].cost is None and scored[2].oversize
+
+
+def test_out_of_alphabet_small_pair_keeps_dense_sentinel_cost(spark):
+    """Under the literal cap, an out-of-alphabet pair still runs the
+    dense sweep with the reference's absurd-cost sentinel semantics —
+    identical costs whether or not its chunkmates take the Myers path."""
+    unit = unit_cost_params("AB")
+    df = spark.createDataFrame(
+        [(0, 1, "ABZ", "ABA"), (2, 3, "ABA", "ABA")],
+        "id_1 long, id_2 long, text_1 string, text_2 string",
+    )
+    rows = {r.id_1: r for r in score_pairs(df, unit).collect()}
+    assert rows[2].cost == 0
+    cp = CompiledParams(unit)
+    expect = align_cost_batch(["ABZ"], ["ABA"], cp)[0]
+    assert rows[0].cost == expect
