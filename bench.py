@@ -21,6 +21,7 @@ import json
 import os
 import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -219,6 +220,31 @@ def one_scaling_run(args) -> dict:
     from globalign_spark.session import get_spark
 
     spark = get_spark("scaling", master=args.master)
+    if args.master and args.master.startswith("local-cluster["):
+        # Executor JVMs run in their own work dirs: ship the package so
+        # their python workers can import globalign_spark inside the
+        # scoring UDFs (same mechanism as spark-submit --py-files).
+        sys.path.insert(0, str(REPO / "tools"))
+        try:
+            from make_pyfiles_zip import build
+        finally:
+            sys.path.pop(0)
+        zip_path = build(
+            Path(tempfile.gettempdir()) / f"ga_pyfiles_{os.getpid()}.zip"
+        )
+        spark.sparkContext.addPyFile(str(zip_path))
+        # defaultParallelism is 2 until executors register; wait for the
+        # full cluster so the repartition below sizes to real capacity and
+        # the warm-up run exercises every executor's python workers.
+        n_exec, cores, _ = (
+            int(x) for x in args.master[len("local-cluster["):-1].split(",")
+        )
+        deadline = time.time() + 120
+        while (
+            spark.sparkContext.defaultParallelism < n_exec * cores
+            and time.time() < deadline
+        ):
+            time.sleep(0.5)
     if args.banded:
         from pyspark.sql import functions as F
 
@@ -293,20 +319,37 @@ def scaling_main(args) -> dict:
     import shutil as _shutil
     import statistics
 
+    # --cluster-cores C: each scaling level n is a COUNT OF EXECUTORS on a
+    # real local-cluster[n, C, mem] pseudo-cluster (separate executor JVMs,
+    # real Netty shuffle + task serialization between processes) instead of
+    # n threads in one JVM — the literal north-rule shape ("N and 4N
+    # executors"). Ceiling probe and taskset pinning then work in n * C
+    # cores.
+    core_mult = args.cluster_cores or 1
+
+    def master_of(n: int) -> str:
+        if args.cluster_cores:
+            return (
+                f"local-cluster[{n},{args.cluster_cores},"
+                f"{args.cluster_mem_mb}]"
+            )
+        return f"local[{n}]"
+
     def run_leg(mode: str, n: int) -> dict:
         cmd = [
             sys.executable, __file__, "--one-scaling-run",
-            "--master", f"local[{n}]", "--sf-dir", args.sf_dir,
+            "--master", master_of(n), "--sf-dir", args.sf_dir,
             "--reps", str(args.reps),
         ]
         if mode == "banded":
             cmd.append("--banded")
-        # Pin each leg to exactly N cores: an unpinned local[4] bounces
-        # its threads across the whole chip, harvesting turbo headroom and
-        # L3 that a true 4-core executor would not have — which deflates
-        # the measured N -> 4N efficiency by inflating the N baseline.
+        # Pin each leg to exactly its core budget: an unpinned local[4]
+        # bounces its threads across the whole chip, harvesting turbo
+        # headroom and L3 that a true 4-core executor would not have —
+        # which deflates the measured N -> 4N efficiency by inflating the
+        # N baseline.
         if _shutil.which("taskset"):
-            cmd = ["taskset", "-c", f"0-{n - 1}"] + cmd
+            cmd = ["taskset", "-c", f"0-{n * core_mult - 1}"] + cmd
         proc = subprocess.run(
             cmd, capture_output=True, text=True, cwd=str(REPO), check=True,
         )
@@ -318,8 +361,12 @@ def scaling_main(args) -> dict:
     probe = REPO / "tools" / "scaling_ceiling.py"
 
     def run_ceiling() -> dict:
+        pair_args = [
+            f"{lo * core_mult},{hi * core_mult}" for lo, hi in PAIRS
+        ]
         proc = subprocess.run(
-            [sys.executable, str(probe), "--rounds", "1", "--secs", "4"],
+            [sys.executable, str(probe), "--rounds", "1", "--secs", "4",
+             "--pairs", *pair_args],
             capture_output=True, text=True, cwd=str(REPO),
         )
         if proc.returncode == 0 and proc.stdout.strip():
@@ -336,7 +383,9 @@ def scaling_main(args) -> dict:
     cycle_effs: dict[str, list[float]] = {
         f"{m}_{lo}_to_{hi}": [] for m in MODES for lo, hi in PAIRS
     }
-    cycle_ceils: dict[str, list[float]] = {"4_to_16": [], "8_to_32": []}
+    cycle_ceils: dict[str, list[float]] = {
+        f"{lo}_to_{hi}": [] for lo, hi in PAIRS
+    }
     cycle_rel: dict[str, list[float]] = {
         k: [] for k in cycle_effs
     }
@@ -359,14 +408,15 @@ def scaling_main(args) -> dict:
             for lo, hi in PAIRS:
                 e = pps[(mode, hi)] / pps[(mode, lo)] / (hi // lo)
                 cycle_effs[f"{mode}_{lo}_to_{hi}"].append(round(e, 3))
-                c = comp.get(f"eff_{lo}_{hi}")
+                c = comp.get(f"eff_{lo * core_mult}_{hi * core_mult}")
                 if c:
                     cycle_rel[f"{mode}_{lo}_to_{hi}"].append(
                         round(e / c, 3)
                     )
         for lo, hi in PAIRS:
-            if comp.get(f"eff_{lo}_{hi}"):
-                cycle_ceils[f"{lo}_to_{hi}"].append(comp[f"eff_{lo}_{hi}"])
+            c = comp.get(f"eff_{lo * core_mult}_{hi * core_mult}")
+            if c:
+                cycle_ceils[f"{lo}_to_{hi}"].append(c)
         print(f"# cycle {cycle}: {cycle_effs} ceil={cycle_ceils}",
               file=sys.stderr, flush=True)
 
@@ -386,7 +436,16 @@ def scaling_main(args) -> dict:
         for k, v in cycle_ceils.items()
     }
     report = {
-        "metric": "candidate-pairs-scored/sec at N vs 4N cores (local[N])",
+        "metric": (
+            "candidate-pairs-scored/sec at N vs 4N executors "
+            "(local-cluster, separate executor JVMs)"
+            if args.cluster_cores
+            else "candidate-pairs-scored/sec at N vs 4N cores (local[N])"
+        ),
+        "cluster_cores": args.cluster_cores or None,
+        "masters": {
+            str(n): master_of(n) for p in PAIRS for n in p
+        },
         "sf": _sf_of(args.sf_dir),
         "sf_dir": args.sf_dir,
         # Which kernel the scorer legs ran (GA_MYERS=0 forces the compute-
@@ -416,8 +475,11 @@ def scaling_main(args) -> dict:
         # measured 0.821 raw in quiet windows and 0.57-0.73 under
         # neighbor load.
         "criterion": (
-            "banded production scorer, driver-prescribed 8->32 pair, "
-            f"per-cycle paired ratios, median of {args.cycles} cycles"
+            "banded production scorer, criterion pair "
+            f"{PAIRS[-1][0]}->{PAIRS[-1][1]} "
+            + ("executors (local-cluster)" if args.cluster_cores
+               else "cores (driver-prescribed local[8]->local[32])")
+            + f", per-cycle paired ratios, median of {args.cycles} cycles"
         ),
         "pass_4_to_16": (effs.get("banded_4_to_16") or 0) >= 0.8,
         "pass_8_to_32_raw": (effs.get("banded_8_to_32") or 0) >= 0.8,
@@ -449,8 +511,24 @@ def scaling_main(args) -> dict:
     report["pass_8_to_32"] = bool(
         report["pass_8_to_32_raw"] or report["pass_8_to_32_vs_ceiling"]
     )
-    # North-rule criterion: the driver-prescribed N -> 4N pair (8 -> 32).
-    report["pass"] = report["pass_8_to_32"]
+    # North-rule criterion pair: the LAST configured pair (defaults keep
+    # the driver-prescribed 8 -> 32; --cluster-cores runs count executors,
+    # the rule's literal unit). Same gate: raw >= 0.8, or >= 0.95 of the
+    # same-window compute ceiling with a raw floor of 0.7.
+    crit_lo, crit_hi = PAIRS[-1]
+    ckey = f"banded_{crit_lo}_to_{crit_hi}"
+    report["criterion_pair"] = f"{crit_lo}:{crit_hi}" + (
+        " executors" if args.cluster_cores else " cores"
+    )
+    report["pass_criterion_raw"] = (effs.get(ckey) or 0) >= 0.8
+    report["pass_criterion_vs_ceiling"] = bool(
+        rels.get(ckey) is not None
+        and rels[ckey] >= 0.95
+        and (effs.get(ckey) or 0) >= 0.7
+    )
+    report["pass"] = bool(
+        report["pass_criterion_raw"] or report["pass_criterion_vs_ceiling"]
+    )
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
     (bench_dir / "SCALING.json").write_text(json.dumps(report, indent=1))
@@ -463,7 +541,7 @@ def scaling_main(args) -> dict:
             f"| mode | parallelism | pairs | wall s (median) | pairs/s |\n"
             f"|---|---|---|---|---|\n"
             + "".join(
-                f"| {m} | local[{n}] | {r['pairs']} | {r['wall_sec']} "
+                f"| {m} | {master_of(n)} | {r['pairs']} | {r['wall_sec']} "
                 f"| {r['pairs_per_sec']} |\n"
                 for (m, n), r in res.items()
             )
@@ -501,6 +579,12 @@ def main():
     # full 2-mode x 2-pair matrix at a larger sf-dir costs hours.
     p.add_argument("--scaling-pairs", default="4:16,8:32")
     p.add_argument("--scaling-modes", default="full,banded")
+    # Real multi-executor legs: local-cluster[N, cluster-cores, mem] spins
+    # up N separate executor JVMs (inter-process Netty shuffle, per-
+    # executor python worker pools) — the north rule's literal "N and 4N
+    # executors" shape. Scaling-pair numbers then count EXECUTORS.
+    p.add_argument("--cluster-cores", type=int, default=0)
+    p.add_argument("--cluster-mem-mb", type=int, default=3072)
     args = p.parse_args()
     if args.one_scaling_run:
         print(json.dumps(one_scaling_run(args)))

@@ -105,6 +105,16 @@ def main(argv=None) -> int:
         text_from_html=args.text_from_html,
     )
     summary = run_pipeline(spark, pages, cfg, labeled_pairs=truth)
+    sc = spark.sparkContext
+    summary["spark"] = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        # Block-manager count: driver + one per executor JVM. 1 in
+        # local[N] (everything in-process), n_executors + 1 on a real /
+        # local-cluster deployment — recorded so a run's multi-executor
+        # claim is auditable from its own output.
+        "block_managers": sc._jsc.sc().getExecutorMemoryStatus().size(),
+    }
     print(json.dumps(summary, indent=1, default=str))
     return 0
 

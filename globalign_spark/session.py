@@ -21,14 +21,19 @@ def get_spark(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    if master is None:
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Only default the master when this process OWNS the JVM. Under
+        # spark-submit the gateway JVM already carries --master (local,
+        # local-cluster, yarn, k8s); setting builder.master here would
+        # silently override the submitted cluster with local[cpus].
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cpus)
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

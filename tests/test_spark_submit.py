@@ -91,3 +91,52 @@ def test_spark_submit_pyfiles_pipeline(tmp_path):
     summary = json.loads(out[out.index("{"):])
     assert summary["eval"]["f1"] >= 0.99
     assert "s5_components" in summary["stages"]
+
+
+def test_spark_submit_local_cluster_multi_executor(tmp_path):
+    """The SAME submit on a real multi-executor cluster (north-rule shape).
+
+    local-cluster[2,2,2048] runs TWO SEPARATE EXECUTOR JVMs with real
+    inter-process Netty shuffle and per-executor python worker pools —
+    the closest this sandbox gets to "N executors" that isn't threads in
+    one JVM. Asserts the submitted master was honored (get_spark must not
+    override spark-submit's --master with local[cpus]) and that both
+    executors registered, via the block-manager count the pipeline
+    records in its own summary.
+    """
+    import pyspark
+
+    spark_submit = Path(pyspark.__file__).parent / "bin" / "spark-submit"
+    assert spark_submit.is_file(), "pyspark install has no spark-submit"
+
+    sys.path.insert(0, str(REPO / "tools"))
+    try:
+        from make_pyfiles_zip import build
+    finally:
+        sys.path.pop(0)
+    zip_path = build(tmp_path / "globalign_spark.zip")
+    entry = tmp_path / "main.py"
+    shutil.copy(REPO / "globalign_spark" / "main.py", entry)
+
+    wh = tmp_path / "wh"
+    proc = subprocess.run(
+        [
+            str(spark_submit), "--master", "local-cluster[2,2,2048]",
+            "--driver-memory", "4g",
+            "--py-files", str(zip_path),
+            str(entry),
+            "--warehouse", str(wh),
+            "--n-entities", "120",
+            "--evaluate",
+        ],
+        capture_output=True, text=True, env=_clean_env(tmp_path),
+        cwd=str(tmp_path), timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    out = proc.stdout
+    summary = json.loads(out[out.index("{"):])
+    assert summary["eval"]["f1"] >= 0.99
+    assert summary["spark"]["master"] == "local-cluster[2,2,2048]"
+    assert summary["spark"]["default_parallelism"] == 4
+    # driver block manager + 2 executor JVMs
+    assert summary["spark"]["block_managers"] == 3
