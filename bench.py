@@ -531,7 +531,13 @@ def scaling_main(args) -> dict:
     )
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "SCALING.json").write_text(json.dumps(report, indent=1))
+    # local-cluster (executor-mode) runs are SUPPLEMENTARY evidence — they
+    # get their own file so they never clobber the driver-pinned
+    # SCALING.json produced by the canonical local[N] run.
+    scaling_file = (
+        "SCALING_CLUSTER.json" if args.cluster_cores else "SCALING.json"
+    )
+    (bench_dir / scaling_file).write_text(json.dumps(report, indent=1))
     md = bench_dir / "BASELINE.md"
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     with md.open("a") as f:
