@@ -464,8 +464,10 @@ def frame_sample_plan(
     media: DataFrame, every_n: int = 10, id_col: str = "media_id"
 ) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_idx) to
-    decode. Decode itself is the stubbed backend; the explode/partition
-    plumbing (what actually matters for the cluster) is real."""
+    decode. :class:`Y4mDecodeBackend` does the equivalent sampling inside
+    one blob; this is the cluster-side shape for codec backends that
+    decode one frame per row (e.g. a future pyav path) — the
+    explode/partition plumbing is what a real codec path would reuse."""
     return media.select(
         F.col(id_col).alias("media_id"),
         F.explode(
