@@ -350,13 +350,32 @@ def scaling_main(args) -> dict:
         # N baseline.
         if _shutil.which("taskset"):
             cmd = ["taskset", "-c", f"0-{n * core_mult - 1}"] + cmd
-        proc = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=str(REPO), check=True,
+        # A leg is a fresh JVM launch on a shared-tenant box: transient
+        # failures (port grab races, neighbor OOM pressure) happen on
+        # hours-long runs. Retry rather than discarding every completed
+        # cycle, and surface stderr so the failure mode is in the log.
+        last_err = None
+        for attempt in range(3):
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, cwd=str(REPO),
+            )
+            lines = [
+                ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+            ]
+            if proc.returncode == 0 and lines:
+                return json.loads(lines[-1])
+            last_err = proc.stderr.strip().splitlines()[-15:]
+            print(
+                f"# leg FAILED (attempt {attempt + 1}/3, rc="
+                f"{proc.returncode}): {' '.join(cmd)}",
+                flush=True,
+            )
+            for ln in last_err:
+                print(f"#   stderr: {ln}", flush=True)
+        raise RuntimeError(
+            f"scaling leg failed 3x: {' '.join(cmd)}\n"
+            + "\n".join(last_err or [])
         )
-        line = [
-            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
-        ][-1]
-        return json.loads(line)
 
     probe = REPO / "tools" / "scaling_ceiling.py"
 
