@@ -39,6 +39,19 @@ LSH_PLANES = 6
 EMB_DIM = 64
 MINHASH_PERM = 16
 MINHASH_BANDS = 4
+# Wide-signature screen for the LSH candidate queries. Banding stays on the
+# first MINHASH_PERM positions (minhash_coefs is prefix-stable, so band
+# hashes are bit-identical to a 16-perm run); the screen then requires
+# SCREEN_MIN_EQ of the full SIG_PERM positions to agree. Why it is safe for
+# the ER queries: an edge needs alignment-sim >= SIM_THRESHOLD (0.8), and
+# the variant construction (suffix truncation) means a qualifying pair's
+# 5-gram Jaccard is >= ~0.79 ((n-24)/(n-4) at the sim=0.8 margin) — at
+# j=0.79 the probability of fewer than 32/64 positions agreeing is < 1e-9.
+# Background collisions (j ~ 0.2 on this shingle-dense corpus) survive with
+# p ~ 5e-5. Measured at gen-sf10: 197.8M colliding pairs (78x for 10x docs
+# — quadratic) screen down to near-dup scale before any shuffle.
+SIG_PERM = 64
+SCREEN_MIN_EQ = 32
 FP_K = 8
 FP_WINDOW = 4
 
@@ -59,13 +72,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # Documents augmented with deterministic near-duplicate variants (prefix
 # truncations — expressible identically in SQL), so dedup/ER queries have
-# real duplicate structure to find. variant ids: +100000 / +200000.
+# real duplicate structure to find. Variant ids live at +V1_OFF / +V2_OFF:
+# the offsets must exceed the largest base doc_id at any benchable scale
+# (gen-sf10 has 500k base docs; the old +100000/+200000 offsets ALIASED
+# real doc ids beyond sf2, silently merging unrelated docs into one id).
+V1_OFF = 10_000_000
+V2_OFF = 20_000_000
+
+
 def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
     v1 = (
         d.where(F.col("doc_id") % 5 == 0)
         .select(
-            (F.col("doc_id") + 100000).alias("doc_id"),
+            (F.col("doc_id") + V1_OFF).alias("doc_id"),
             F.expr("substring(text, 21)").alias("text"),
             "lang",
             "source",
@@ -74,7 +94,7 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = (
         d.where(F.col("doc_id") % 10 == 0)
         .select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
+            (F.col("doc_id") + V2_OFF).alias("doc_id"),
             F.expr("substring(text, 41)").alias("text"),
             "lang",
             "source",
@@ -83,13 +103,13 @@ def _docs_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(v1).unionByName(v2)
 
 
-DOCS_AUG_SQL = """
+DOCS_AUG_SQL = f"""
   (select doc_id, text, lang, source from documents
    union all
-   select doc_id + 100000, substr(text, 21), lang, source
+   select doc_id + {V1_OFF}, substr(text, 21), lang, source
    from documents where doc_id % 5 = 0
    union all
-   select doc_id + 200000, substr(text, 41), lang, source
+   select doc_id + {V2_OFF}, substr(text, 41), lang, source
    from documents where doc_id % 10 = 0)
 """
 
@@ -252,8 +272,9 @@ def q_er_lsh_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheme + levenshtein + recursive closure in SQL."""
     d = _docs_aug(spark, sf_dir)
     cand = dedup.dedup_minhash_lsh(
-        d, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS,
+        d, k=5, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
         bucket_cap=ORACLE_UNCAPPED,
+        band_perm=MINHASH_PERM, screen_min_eq=SCREEN_MIN_EQ,
     )
     edges = _cand_to_edges(d, cand)
     comps = connected_components(edges, src="id_1", dst="id_2")
@@ -323,15 +344,19 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of re-running the full-corpus MinHash pipeline per branch.
     # Measured at sf0.1: 61s -> ~20s for this query.
     bands_old = dedup.lsh_band_rows(
-        old, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS
+        old, k=5, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
+        band_perm=MINHASH_PERM, carry_sig=True,
     ).localCheckpoint()
     bands_new = dedup.lsh_band_rows(
-        new, k=5, num_perm=MINHASH_PERM, num_bands=MINHASH_BANDS
+        new, k=5, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
+        band_perm=MINHASH_PERM, carry_sig=True,
     ).localCheckpoint()
     # Existing state, as a production deployment would read it from its
     # checkpointed assignment table: the batch pipeline's output on the
     # old corpus.
-    old_cand = dedup.pairs_from_band_rows(bands_old, bucket_cap=ORACLE_UNCAPPED)
+    old_cand = dedup.pairs_from_band_rows(
+        bands_old, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ
+    )
     old_assign = connected_components(
         _cand_to_edges(old, old_cand), src="id_1", dst="id_2"
     )
@@ -339,7 +364,8 @@ def q_er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets the batch touches), scored with the same banded kernel,
     # merged into the existing components.
     cand = incremental.incremental_candidates_from_bands(
-        bands_old, bands_new, bucket_cap=ORACLE_UNCAPPED
+        bands_old, bands_new, bucket_cap=ORACLE_UNCAPPED,
+        screen_min_eq=SCREEN_MIN_EQ,
     )
     new_edges = _cand_to_edges(d, cand)
     comps = incremental.incremental_components(old_assign, new_edges)
@@ -370,7 +396,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_P = dedup.MINHASH_P
-_MH_COEFS = dedup.minhash_coefs(MINHASH_PERM)
+_MH_COEFS = dedup.minhash_coefs(SIG_PERM)
 _MH_HASH = f"('0x'||substr(md5(g),1,12))::BIGINT % {_MH_P} as h"
 
 
@@ -396,18 +422,30 @@ from hashed group by doc_id
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash near-dup candidates with the wide-signature screen:
+    band collisions (first 16 positions, 4x4) propose, >=32/64 agreeing
+    positions confirm. Screen-before-shuffle is what bounds this at scale —
+    see ops.dedup.pairs_from_band_rows."""
     return dedup.dedup_minhash_lsh(
         _docs_aug(spark, sf_dir),
         k=5,
-        num_perm=MINHASH_PERM,
+        num_perm=SIG_PERM,
         num_bands=MINHASH_BANDS,
         bucket_cap=ORACLE_UNCAPPED,
+        band_perm=MINHASH_PERM,
+        screen_min_eq=SCREEN_MIN_EQ,
     )
 
 
 _ROWS_PER_BAND = MINHASH_PERM // MINHASH_BANDS
+# Signature CTE is SIG_PERM wide (the screen needs the full width); the
+# band CTE below slices only the first MINHASH_PERM positions, which are
+# bit-identical to a 16-perm run (prefix-stable coefficients).
 _MH_SIG_COLS = ", ".join(
-    f"{_mh_min(j)} as s{j}" for j in range(MINHASH_PERM)
+    f"{_mh_min(j)} as s{j}" for j in range(SIG_PERM)
+)
+_MH_SCREEN_SUM = " + ".join(
+    f"(sa.s{j} = sb.s{j})::int" for j in range(SIG_PERM)
 )
 _MH_BAND_ROWS = "\n  union all\n".join(
     "  select doc_id, {b} as band_id, md5('{b}' || '|' || {cat}) as band_hash"
@@ -436,6 +474,9 @@ cand as (
   from bands a join bands b
     on a.band_id = b.band_id and a.band_hash = b.band_hash
    and a.doc_id < b.doc_id
+  join sigs sa on sa.doc_id = a.doc_id
+  join sigs sb on sb.doc_id = b.doc_id
+  where {_MH_SCREEN_SUM} >= {SCREEN_MIN_EQ}
 )"""
 
 SQL_DEDUP_MINHASH_LSH = f"""
@@ -505,10 +546,21 @@ from bits group by doc_id
 """
 
 
+SIMHASH_BLOCK_CAP = 10_000
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with the library's default 16-bit-block skew cap
+    (10k). The block key space is FIXED (65,536 values), so block sizes —
+    and within-block pairs — grow quadratically with the corpus: measured
+    6.13 BILLION uncapped within-block pairs at gen-sf10 (650k docs,
+    max block 70,307) vs 61.6M at gen-sf1. The cap is the guard that makes
+    the op corpus-size-safe; it never binds at sf <= 1 (max block 7,043),
+    so small-scale results are unchanged, and the SQL twin encodes the
+    identical whole-block drop rule."""
     docs = dedup.add_simhash(_docs_aug(spark, sf_dir))
     return dedup.simhash_near_pairs(
-        docs, max_hamming=6, bucket_cap=ORACLE_UNCAPPED
+        docs, max_hamming=6, bucket_cap=SIMHASH_BLOCK_CAP
     )
 
 
@@ -532,7 +584,12 @@ sh as (
   select doc_id, sum(bit * (1::BIGINT << i))::BIGINT as simhash
   from bits group by doc_id
 ),
-blk as (select doc_id, simhash, simhash >> 16 as blk from sh)
+blk0 as (select doc_id, simhash, simhash >> 16 as blk from sh),
+oksz as (
+  select blk from blk0 group by blk
+  having count(*) <= {SIMHASH_BLOCK_CAP}
+),
+blk as (select b.* from blk0 b join oksz o on o.blk = b.blk)
 select a.doc_id as id_1, b.doc_id as id_2,
        bit_count(xor(a.simhash, b.simhash))::BIGINT as hamming
 from blk a join blk b on a.blk = b.blk and a.doc_id < b.doc_id
@@ -700,9 +757,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_min=CURATION_QUALITY_MIN,
         tokens_min=CURATION_TOKENS_MIN,
         k=5,
-        num_perm=MINHASH_PERM,
+        num_perm=SIG_PERM,
         num_bands=MINHASH_BANDS,
         bucket_cap=ORACLE_UNCAPPED,
+        band_perm=MINHASH_PERM,
+        screen_min_eq=SCREEN_MIN_EQ,
     )
 
 
@@ -1330,14 +1389,14 @@ def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint parquet, never by re-executing ER lineage)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     t1 = d.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("u1"), (F.col("doc_id") + 100000).alias("u2")
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + V1_OFF).alias("u2")
     )
     t2 = d.where(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("u1"), (F.col("doc_id") + 200000).alias("u2")
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + V2_OFF).alias("u2")
     )
     t3 = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("u1"),
-        (F.col("doc_id") + 200000).alias("u2"),
+        (F.col("doc_id") + V1_OFF).alias("u1"),
+        (F.col("doc_id") + V2_OFF).alias("u2"),
     )
     truth = t1.unionByName(t2).unionByName(t3)
     pred = dedup.ngram_jaccard_pairs(
@@ -1377,11 +1436,11 @@ def q_eval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVAL_JOIN = f"""
 with truth as (
-  select doc_id as u1, doc_id + 100000 as u2 from documents where doc_id % 5 = 0
+  select doc_id as u1, doc_id + 10000000 as u2 from documents where doc_id % 5 = 0
   union all
-  select doc_id, doc_id + 200000 from documents where doc_id % 10 = 0
+  select doc_id, doc_id + 20000000 from documents where doc_id % 10 = 0
   union all
-  select doc_id + 100000, doc_id + 200000 from documents where doc_id % 10 = 0
+  select doc_id + 10000000, doc_id + 20000000 from documents where doc_id % 10 = 0
 ),
 docs as {DOCS_AUG_SQL},
 g as (
@@ -1420,7 +1479,7 @@ from counts
 def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster purity table over the ER pipeline's output: each
     predicted component vs the injected-variant ground truth (a doc's true
-    entity is doc_id % 100000 — variants carry +100000/+200000 offsets).
+    entity is doc_id % V1_OFF — variants carry +V1_OFF/+V2_OFF offsets).
     Integer-exact columns (counts + one two-integer division per row) so
     the oracle hash can't wobble on float-summation order, unlike a global
     B-cubed average. Complements eval_join (global pairwise P/R) and
@@ -1431,7 +1490,7 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truth is a function of doc_id: pass a Column so the ER lineage runs
     # once (a truth FRAME derived from comp would self-join the pipeline
     # against itself and execute blocking+scoring+CC twice).
-    return metrics.cluster_purity(comp, F.col("doc_id") % 100000)
+    return metrics.cluster_purity(comp, F.col("doc_id") % V1_OFF)
 
 
 SQL_CLUSTER_PURITY = f"""
@@ -1441,8 +1500,8 @@ comp as (
   from reach group by node
 ),
 ov as (
-  select component, doc_id % 100000 as tcluster, count(*) as ov
-  from comp group by component, doc_id % 100000
+  select component, doc_id % 10000000 as tcluster, count(*) as ov
+  from comp group by component, doc_id % 10000000
 )
 select component,
        sum(ov)::BIGINT as n_members,
@@ -1462,23 +1521,25 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     config as q_dedup_minhash_lsh (capless SQL twin)."""
     d = _t(spark, sf_dir, "documents").select("doc_id")
     t1 = d.where(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("u1"), (F.col("doc_id") + 100000).alias("u2")
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + V1_OFF).alias("u2")
     )
     t2 = d.where(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("u1"), (F.col("doc_id") + 200000).alias("u2")
+        F.col("doc_id").alias("u1"), (F.col("doc_id") + V2_OFF).alias("u2")
     )
     t3 = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("u1"),
-        (F.col("doc_id") + 200000).alias("u2"),
+        (F.col("doc_id") + V1_OFF).alias("u1"),
+        (F.col("doc_id") + V2_OFF).alias("u2"),
     )
     truth = t1.unionByName(t2).unionByName(t3)
     docs = _docs_aug(spark, sf_dir)
     cand = dedup.dedup_minhash_lsh(
         docs,
         k=5,
-        num_perm=MINHASH_PERM,
+        num_perm=SIG_PERM,
         num_bands=MINHASH_BANDS,
         bucket_cap=ORACLE_UNCAPPED,
+        band_perm=MINHASH_PERM,
+        screen_min_eq=SCREEN_MIN_EQ,
     )
     return metrics.blocking_quality(cand, truth, docs.count())
 
@@ -1487,11 +1548,11 @@ SQL_BLOCKING_QUALITY = f"""
 with docs as {DOCS_AUG_SQL},
 {_MH_CAND_CTES},
 truth as (
-  select doc_id as u1, doc_id + 100000 as u2 from documents where doc_id % 5 = 0
+  select doc_id as u1, doc_id + 10000000 as u2 from documents where doc_id % 5 = 0
   union all
-  select doc_id, doc_id + 200000 from documents where doc_id % 10 = 0
+  select doc_id, doc_id + 20000000 from documents where doc_id % 10 = 0
   union all
-  select doc_id + 100000, doc_id + 200000 from documents where doc_id % 10 = 0
+  select doc_id + 10000000, doc_id + 20000000 from documents where doc_id % 10 = 0
 ),
 counts as (
   select

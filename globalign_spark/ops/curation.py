@@ -34,12 +34,21 @@ def curate_corpus(
     num_perm: int = 16,
     num_bands: int = 4,
     bucket_cap: int = 500,
+    band_perm: int | None = None,
+    screen_min_eq: int | None = None,
 ) -> DataFrame:
     """Curated corpus: rows of ``df`` that survive all four gates.
 
     Near-dup policy is deterministic keep-smallest-id: a doc is dropped iff
     it appears as the larger id of an LSH candidate pair. Output columns:
     (id_col, pred_lang, n_tokens, quality_score).
+
+    ``band_perm``/``screen_min_eq`` pass through to
+    :func:`ops.dedup.dedup_minhash_lsh`: with the signature screen on, a
+    doc is dropped only when its signature actually agrees with a
+    smaller-id doc's on >= screen_min_eq positions — without it, ANY band
+    collision (including the background collisions that go quadratic on
+    boilerplate-dense corpora) counts as a near-dup and over-drops.
     """
     d = text_ops.add_quality_score(text_ops.add_lang_id(df, text_col), text_col)
     filt = d.where(
@@ -63,6 +72,8 @@ def curate_corpus(
         num_perm=num_perm,
         num_bands=num_bands,
         bucket_cap=bucket_cap,
+        band_perm=band_perm,
+        screen_min_eq=screen_min_eq,
     )
     drops = cand.select(F.col("id_2").alias(id_col)).distinct()
     kept = exact_kept.join(drops, id_col, "left_anti")

@@ -175,6 +175,8 @@ def lsh_band_rows(
     k: int = 5,
     num_perm: int = 16,
     num_bands: int = 4,
+    band_perm: int | None = None,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """(_id, band_id, band_hash): B banded-signature rows per document.
 
@@ -183,8 +185,19 @@ def lsh_band_rows(
     per doc. This is the table a production deployment checkpoints (bucketed
     by (band_id, band_hash)) so that incremental batches probe it without
     recomputing signatures for the whole corpus (pipeline/incremental.py).
+
+    ``band_perm`` bands over only the FIRST band_perm signature positions
+    (default: all num_perm). minhash_coefs is prefix-stable, so widening
+    num_perm while holding band_perm fixed leaves every band hash
+    bit-identical and only adds screening resolution. ``carry_sig=True``
+    appends the full signature as an array<bigint> ``sig`` column — the
+    input to the pair-level signature screen in
+    :func:`pairs_from_band_rows` (~8*num_perm bytes per band row of
+    shuffle weight; the screen it feeds runs BEFORE the pair expansion
+    ever hits an exchange).
     """
-    rows = num_perm // num_bands
+    bp = band_perm or num_perm
+    rows = bp // num_bands
     sig = minhash_signature_wide(df, id_col, text_col, k, num_perm)
     band_cols = F.array(
         *[
@@ -204,9 +217,12 @@ def lsh_band_rows(
             for b in range(num_bands)
         ]
     )
-    return sig.select(
-        "_id", F.posexplode(band_cols).alias("band_id", "band_hash")
-    )
+    out = ["_id", F.posexplode(band_cols).alias("band_id", "band_hash")]
+    if carry_sig:
+        out.append(
+            F.array(*[F.col(f"s{j}") for j in range(num_perm)]).alias("sig")
+        )
+    return sig.select(*out)
 
 
 def dedup_minhash_lsh(
@@ -217,8 +233,15 @@ def dedup_minhash_lsh(
     num_perm: int = 16,
     num_bands: int = 4,
     bucket_cap: int = 500,
+    band_perm: int | None = None,
+    screen_min_eq: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_1 < id_2) from banded MinHash.
+
+    ``band_perm``/``screen_min_eq`` enable the wide-signature screen: band
+    on the first ``band_perm`` positions (collision structure unchanged)
+    and require >= ``screen_min_eq`` of the full ``num_perm`` positions to
+    agree before a pair survives — see :func:`pairs_from_band_rows`.
 
     The band rows feed three plan branches (bucket sizing and both sides
     of the pair join), so the signature pipeline appears three times in
@@ -243,15 +266,47 @@ def dedup_minhash_lsh(
     the same way) and call :func:`pairs_from_band_rows` on the scan —
     which is also exactly the incremental path (pipeline/incremental.py).
     """
-    exploded = lsh_band_rows(df, id_col, text_col, k, num_perm, num_bands)
-    return pairs_from_band_rows(exploded, bucket_cap)
+    exploded = lsh_band_rows(
+        df, id_col, text_col, k, num_perm, num_bands,
+        band_perm=band_perm, carry_sig=screen_min_eq is not None,
+    )
+    return pairs_from_band_rows(exploded, bucket_cap, screen_min_eq)
 
 
-def pairs_from_band_rows(band_rows: DataFrame, bucket_cap: int = 500) -> DataFrame:
+def sig_eq_count(sig_1: Column, sig_2: Column) -> Column:
+    """Number of equal positions between two minhash signature arrays —
+    num_perm * est_jaccard as an exact integer (no float thresholds, so
+    a SQL oracle reproduces the screen bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(
+            sig_1, sig_2, lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pairs_from_band_rows(
+    band_rows: DataFrame,
+    bucket_cap: int = 500,
+    screen_min_eq: int | None = None,
+) -> DataFrame:
     """Capped LSH candidate pairs (id_1 < id_2) from (_id, band_id,
     band_hash) rows — the tail of :func:`dedup_minhash_lsh`, callable
     directly against a checkpointed/materialized band-rows table (see
-    pipeline/incremental.py for the per-batch use)."""
+    pipeline/incremental.py for the per-batch use).
+
+    ``screen_min_eq`` (requires band rows built with ``carry_sig=True``)
+    keeps only pairs whose signatures agree on >= that many positions —
+    the pipeline's signature screen (pipeline/blocking.py
+    est_jaccard_floor) as an exact-integer pair predicate. Placement is
+    the scale-critical part: the filter runs on the STREAMING output of
+    the band self-join, before the ``distinct()`` exchange, so the
+    quadratic collision mass (measured 197.8M colliding pairs from 650k
+    boilerplate docs at gen-sf10, 78x for 10x docs) flows through one
+    in-stage predicate and only true near-dup survivors are ever
+    shuffled. Without it, every colliding pair crosses the distinct — and
+    whatever text-attach join follows — as shuffle bytes."""
     sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )
@@ -259,14 +314,19 @@ def pairs_from_band_rows(band_rows: DataFrame, bucket_cap: int = 500) -> DataFra
         sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
         ["band_id", "band_hash"],
     )
-    a = ok.select("band_id", "band_hash", F.col("_id").alias("id_1"))
-    b = ok.select("band_id", "band_hash", F.col("_id").alias("id_2"))
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("id_1") < F.col("id_2"))
-        .select("id_1", "id_2")
-        .distinct()
+    extra_a = [F.col("sig").alias("sig_1")] if screen_min_eq is not None else []
+    extra_b = [F.col("sig").alias("sig_2")] if screen_min_eq is not None else []
+    a = ok.select("band_id", "band_hash", F.col("_id").alias("id_1"), *extra_a)
+    b = ok.select("band_id", "band_hash", F.col("_id").alias("id_2"), *extra_b)
+    pairs = a.join(b, ["band_id", "band_hash"]).where(
+        F.col("id_1") < F.col("id_2")
     )
+    if screen_min_eq is not None:
+        pairs = pairs.where(
+            sig_eq_count(F.col("sig_1"), F.col("sig_2"))
+            >= F.lit(screen_min_eq)
+        )
+    return pairs.select("id_1", "id_2").distinct()
 
 
 def simhash32(text: Column) -> Column:

@@ -54,6 +54,8 @@ def incremental_candidates(
     num_perm: int = 16,
     num_bands: int = 4,
     bucket_cap: int = 500,
+    band_perm: int | None = None,
+    screen_min_eq: int | None = None,
 ) -> DataFrame:
     """Candidate pairs (id_1 < id_2, new_1, new_2) with >=1 new endpoint.
 
@@ -69,7 +71,8 @@ def incremental_candidates(
     # dedup_minhash_lsh docstring). Production reads the checkpointed
     # band_rows table here, so only the joins below run per batch.
     bands = dedup.lsh_band_rows(
-        docs, id_col, text_col, k, num_perm, num_bands
+        docs, id_col, text_col, k, num_perm, num_bands,
+        band_perm=band_perm, carry_sig=screen_min_eq is not None,
     ).join(
         docs.select(F.col(id_col).alias("_id"), F.col(new_col).alias("_new")),
         "_id",
@@ -78,13 +81,14 @@ def incremental_candidates(
     # full bucket set (B rows per new doc), so the probe join inside the
     # shared helper broadcasts at real batch/corpus ratios; local mode
     # lets AQE pick.
-    return _pairs_from_flagged_bands(bands, bucket_cap)
+    return _pairs_from_flagged_bands(bands, bucket_cap, screen_min_eq)
 
 
 def incremental_candidates_from_bands(
     old_bands: DataFrame,
     new_bands: DataFrame,
     bucket_cap: int = 500,
+    screen_min_eq: int | None = None,
 ) -> DataFrame:
     """The production per-batch form of :func:`incremental_candidates`.
 
@@ -111,37 +115,44 @@ def incremental_candidates_from_bands(
     (proved equal in
     tests/test_pipeline_e2e.py::test_incremental_from_bands_equivalence).
     """
+    sig = (["sig"] if screen_min_eq is not None else [])
     new = new_bands.select(
-        "_id", "band_id", "band_hash", F.lit(True).alias("_new")
+        "_id", "band_id", "band_hash", *sig, F.lit(True).alias("_new")
     )
     hot = new.select("band_id", "band_hash").distinct()
     touched = (
         old_bands.select(
-            "_id", "band_id", "band_hash", F.lit(False).alias("_new")
+            "_id", "band_id", "band_hash", *sig, F.lit(False).alias("_new")
         )
         .join(hot, ["band_id", "band_hash"])
         .unionByName(new)
     )
-    return _pairs_from_touched(touched, bucket_cap)
+    return _pairs_from_touched(touched, bucket_cap, screen_min_eq)
 
 
-def _pairs_from_flagged_bands(bands: DataFrame, bucket_cap: int) -> DataFrame:
+def _pairs_from_flagged_bands(
+    bands: DataFrame, bucket_cap: int, screen_min_eq: int | None = None
+) -> DataFrame:
     """Hot-bucket probe for the self-contained path: bands is
-    (_id, band_id, band_hash, _new); emits capped candidate pairs with >=1
-    new endpoint."""
+    (_id, band_id, band_hash[, sig], _new); emits capped candidate pairs
+    with >=1 new endpoint."""
     hot = (
         bands.where(F.col("_new"))
         .select("band_id", "band_hash")
         .distinct()
     )
     touched = bands.join(hot, ["band_id", "band_hash"])
-    return _pairs_from_touched(touched, bucket_cap)
+    return _pairs_from_touched(touched, bucket_cap, screen_min_eq)
 
 
-def _pairs_from_touched(touched: DataFrame, bucket_cap: int) -> DataFrame:
+def _pairs_from_touched(
+    touched: DataFrame, bucket_cap: int, screen_min_eq: int | None = None
+) -> DataFrame:
     """Capped pair join over probed band rows. The skew cap counts FULL
     bucket size (probed buckets are counted whole) so drops match a batch
-    run over the union corpus."""
+    run over the union corpus. ``screen_min_eq`` applies the signature
+    screen (ops.dedup.pairs_from_band_rows) on the streaming join output,
+    before the distinct — band rows must carry a ``sig`` column."""
     sizes = touched.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )
@@ -149,21 +160,28 @@ def _pairs_from_touched(touched: DataFrame, bucket_cap: int) -> DataFrame:
         sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
         ["band_id", "band_hash"],
     )
+    screening = screen_min_eq is not None
+    extra_a = [F.col("sig").alias("sig_1")] if screening else []
+    extra_b = [F.col("sig").alias("sig_2")] if screening else []
     a = ok.select(
         "band_id", "band_hash",
-        F.col("_id").alias("id_1"), F.col("_new").alias("new_1"),
+        F.col("_id").alias("id_1"), F.col("_new").alias("new_1"), *extra_a,
     )
     b = ok.select(
         "band_id", "band_hash",
-        F.col("_id").alias("id_2"), F.col("_new").alias("new_2"),
+        F.col("_id").alias("id_2"), F.col("_new").alias("new_2"), *extra_b,
     )
-    return (
+    pairs = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("id_1") < F.col("id_2"))
         .where(F.col("new_1") | F.col("new_2"))
-        .select("id_1", "id_2", "new_1", "new_2")
-        .distinct()
     )
+    if screening:
+        pairs = pairs.where(
+            dedup.sig_eq_count(F.col("sig_1"), F.col("sig_2"))
+            >= F.lit(screen_min_eq)
+        )
+    return pairs.select("id_1", "id_2", "new_1", "new_2").distinct()
 
 
 def incremental_components(
