@@ -53,6 +53,14 @@ def build_parser() -> argparse.ArgumentParser:
                         " Jaccard is below this before alignment (0 = off)")
     p.add_argument("--sn-window", type=int, default=6,
                    help="sorted-neighborhood window (both text orders)")
+    p.add_argument("--no-rescue", action="store_true",
+                   help="disable the post-clustering singleton rescue pass"
+                        " (2-row re-banding of records with no fuzzy edge)")
+    p.add_argument("--rescue-rows-per-band", type=int, default=2)
+    p.add_argument("--rescue-bucket-cap", type=int, default=2000)
+    p.add_argument("--rescue-top-k", type=int, default=500,
+                   help="best-estimated-Jaccard partners kept per rescued"
+                        " singleton (0 = unlimited)")
     p.add_argument("--text-from-html", action="store_true",
                    help="re-extract text from the html column (byte-identical"
                         " invariant path)")
@@ -103,6 +111,10 @@ def main(argv=None) -> int:
         sn_window=args.sn_window,
         similarity_threshold=args.similarity_threshold,
         text_from_html=args.text_from_html,
+        rescue_singletons=not args.no_rescue,
+        rescue_rows_per_band=args.rescue_rows_per_band,
+        rescue_bucket_cap=args.rescue_bucket_cap,
+        rescue_top_k=args.rescue_top_k,
     )
     summary = run_pipeline(spark, pages, cfg, labeled_pairs=truth)
     sc = spark.sparkContext

@@ -207,52 +207,7 @@ def lsh_candidates(
         )
         pairs = pairs.union(refined).distinct()
     if est_jaccard_floor > 0:
-        # Screen on 15-bit truncations of the minhash values, not the full
-        # 64-bit signatures: the estimator only compares positions for
-        # EQUALITY, and x==y implies trunc(x)==trunc(y), so recall through
-        # the screen is exact; a false positional match needs a 2^-15
-        # truncation collision (expected inflation ~126/32768 of one
-        # position — invisible at a 0.25 floor). The payoff is shuffle
-        # bytes: the second pair-sig join ships every candidate pair's
-        # attached signature, and smallint arrays are ~4x leaner than the
-        # long arrays (the full-width version filled this box's disk with
-        # spill at 400k pages before the screen ever finished).
-        sigs = with_sig.select(
-            "_id",
-            F.transform(
-                "signature", lambda x: (x.bitwiseAND(F.lit(32767))).cast("smallint")
-            ).alias("ssig"),
-        )
-        est = (
-            pairs
-            .join(sigs.select(F.col("_id").alias("id_1"),
-                              F.col("ssig").alias("_sig1")), "id_1")
-            .join(sigs.select(F.col("_id").alias("id_2"),
-                              F.col("ssig").alias("_sig2")), "id_2")
-            .withColumn(
-                "_est_j",
-                F.size(
-                    F.filter(
-                        F.zip_with("_sig1", "_sig2", lambda x, y: x == y),
-                        lambda m: m,
-                    )
-                ) / F.lit(float(num_perm)),
-            )
-            # Narrow BEFORE the lazy persist: the signature arrays
-            # (num_perm longs per side) would make the cached rows ~100x
-            # fatter for no reader.
-            .select("id_1", "id_2", "_est_j")
-            # Lazy persist so the stats branch (drop accounting) and the
-            # pairs branch share ONE execution of the expensive
-            # bands-self-join + over-cap refinement + double signature
-            # join, instead of re-running it per action (the orchestrator
-            # collects stats AND checkpoints pairs). Lazy: a caller that
-            # never runs stats pays no extra job, only cache residency;
-            # MEMORY_AND_DISK so a huge candidate set spills, not OOMs.
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        if cache_registry is not None:
-            cache_registry.append(est)
+        est = _pair_est_jaccard(pairs, with_sig, num_perm, cache_registry)
         # Drop accounting rides on the stats frame (crossJoin of two 1-row
         # aggregates). coalesce: F.sum over an EMPTY frame is NULL, and
         # the lineage contract is a counted zero, not None.
@@ -273,6 +228,182 @@ def lsh_candidates(
     else:
         stats = stats.withColumn("n_screened_out", F.lit(0))
     return pairs, stats
+
+
+def _pair_est_jaccard(
+    pairs: DataFrame,
+    with_sig: DataFrame,
+    num_perm: int,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """(id_1, id_2) -> (id_1, id_2, _est_j): MinHash-estimated Jaccard of
+    each pair, from ``with_sig``'s (_id, signature) columns.
+
+    Estimates on 15-bit truncations of the minhash values, not the full
+    64-bit signatures: the estimator only compares positions for EQUALITY,
+    and x==y implies trunc(x)==trunc(y), so recall through any downstream
+    floor is exact; a false positional match needs a 2^-15 truncation
+    collision (expected inflation ~num_perm/32768 of one position —
+    invisible at a 0.25 floor). The payoff is shuffle bytes: the pair-sig
+    joins ship every candidate pair's attached signature, and smallint
+    arrays are ~4x leaner than the long arrays (the full-width version
+    filled this box's disk with spill at 400k pages before the screen ever
+    finished).
+
+    The result is narrowed to 3 columns BEFORE a lazy MEMORY_AND_DISK
+    persist (signature arrays would make cached rows ~100x fatter for no
+    reader), so a stats action and a pairs action share one execution of
+    the upstream bucket join; pass ``cache_registry`` to receive the
+    persisted frame and release it once all readers have run.
+    """
+    sigs = with_sig.select(
+        "_id",
+        F.transform(
+            "signature", lambda x: (x.bitwiseAND(F.lit(32767))).cast("smallint")
+        ).alias("ssig"),
+    )
+    est = (
+        pairs
+        .join(sigs.select(F.col("_id").alias("id_1"),
+                          F.col("ssig").alias("_sig1")), "id_1")
+        .join(sigs.select(F.col("_id").alias("id_2"),
+                          F.col("ssig").alias("_sig2")), "id_2")
+        .withColumn(
+            "_est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("_sig1", "_sig2", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ) / F.lit(float(num_perm)),
+        )
+        .select("id_1", "id_2", "_est_j")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if cache_registry is not None:
+        cache_registry.append(est)
+    return est
+
+
+def rescue_candidates(
+    df: DataFrame,
+    probe_ids: DataFrame,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    shingle_k: int = 5,
+    num_perm: int = 126,
+    rows_per_band: int = 2,
+    bucket_cap: int = 2000,
+    seed: int = 1,
+    est_jaccard_floor: float = 0.0,
+    top_k: int = 500,
+    cache_registry: list | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Aggressive-banding LSH candidates for a SMALL probe set against the
+    whole corpus — the singleton rescue pass.
+
+    Motivation (measured, BENCH/r3/SCALE_EVIDENCE.md §3): pairwise recall
+    decays with corpus size — 1.0 (5k) → 0.9962 (50k) → 0.9876 (200k
+    entities) — because the per-edge catch probability of the production
+    42x3 banding (~0.96 at the base-variant Jaccard p5 of 0.42, ~0.81 at
+    the variant-variant p25 of 0.34) meets an ever-longer truth-pair tail:
+    a variant whose ONLY edge is missed stays a singleton forever. Fixing
+    that corpus-wide by moving to 2-row banding costs ~4x colliding pairs
+    on EVERY record — the wrong trade at 10^12 rows.
+
+    This pass instead re-banded only after clustering: the same ``num_perm``
+    permutations (same seed → bit-identical signatures to the main pass)
+    regrouped into ``num_perm // rows_per_band`` bands of ``rows_per_band``
+    rows. At r=2/63 bands the per-edge catch is ~0.9995 at Jaccard 0.34 and
+    ~1.0 at 0.42 — but only records in ``probe_ids`` (the post-clustering
+    singletons, ~1% of the corpus at 200k entities) probe the buckets, so
+    the candidate volume is O(|probe| * bucket_cap * bands), independent of
+    corpus size. The corpus-side cost is one map-only signature+banding
+    pass (linear; a production deployment would checkpoint the s1 signature
+    table and skip recompute — pipeline/bucketing.py already demonstrates
+    the bucketed band-rows layout incremental ER reads).
+
+    Skew guards, in order:
+    - buckets over ``bucket_cap`` are dropped AND counted (never silent);
+      the main pass already SN-refined its own over-cap buckets, so a
+      rescue probe landing only in mega-buckets gains nothing new there;
+    - ``est_jaccard_floor`` screens pairs on signature-estimated Jaccard
+      (shared 15-bit-truncation estimator, see ``_pair_est_jaccard``);
+    - ``top_k`` keeps only the best-estimated ``top_k`` partners per probe,
+      so one degenerate probe (boilerplate text colliding everywhere)
+      cannot flood the alignment stage.
+
+    Returns (pairs, stats): pairs(id_1, id_2) distinct with id_1 < id_2,
+    every pair touching >= 1 probe id; stats is a 1-row accounting frame.
+    """
+    num_bands = num_perm // rows_per_band
+    with_sig = minhash_signature_col(
+        df.select(F.col(id_col).alias("_id"),
+                  shingle_hashes(F.col(text_col), shingle_k).alias("_hs")),
+        "_hs", num_perm=num_perm, seed=seed,
+    )
+    bands = with_sig.select(
+        "_id",
+        F.posexplode(band_keys_col(F.col("signature"), num_bands, num_perm)).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    probes = probe_ids.select(F.col(probe_ids.columns[0]).alias("_id")).distinct()
+    probe_bands = bands.join(probes, "_id", "left_semi")
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
+    stats = sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.when(F.col("bsz") > bucket_cap, 1).otherwise(0)).alias(
+            "n_buckets_over_cap"
+        ),
+        F.sum(F.when(F.col("bsz") > bucket_cap, F.col("bsz")).otherwise(0)).alias(
+            "n_rows_in_over_cap"
+        ),
+        F.max("bsz").alias("max_bucket"),
+    )
+    ok = bands.join(
+        sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"),
+        ["band_id", "band_hash"],
+    )
+    # Probe rows keep their identity on the LEFT (id_1 = probe) so the
+    # per-probe top-k window below has a key; normalization to
+    # (least, greatest) happens after the screen.
+    raw = (
+        probe_bands.select("band_id", "band_hash", F.col("_id").alias("id_1"))
+        .join(ok.select("band_id", "band_hash", F.col("_id").alias("id_2")),
+              ["band_id", "band_hash"])
+        .where(F.col("id_1") != F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+    caches: list = []
+    est = _pair_est_jaccard(raw, with_sig, num_perm, caches)
+    if cache_registry is not None:
+        cache_registry.extend(caches)
+    screened = est.where(F.col("_est_j") >= est_jaccard_floor)
+    if top_k > 0:
+        w = Window.partitionBy("id_1").orderBy(
+            F.col("_est_j").desc(), F.col("id_2")
+        )
+        screened = (
+            screened.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= top_k)
+        )
+    pairs = (
+        screened.select(
+            F.least("id_1", "id_2").alias("id_1"),
+            F.greatest("id_1", "id_2").alias("id_2"),
+        )
+        .distinct()
+    )
+    screen_stats = est.agg(
+        F.coalesce(F.count("*"), F.lit(0)).alias("n_probe_collisions"),
+        F.coalesce(
+            F.sum(F.when(F.col("_est_j") < est_jaccard_floor, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_screened_out"),
+    )
+    return pairs, stats.crossJoin(screen_stats)
 
 
 def sorted_neighborhood_candidates(

@@ -73,6 +73,20 @@ class PipelineConfig:
     # square of the dup mass (a Common-Crawl-style corpus is ~half exact
     # duplicates). Components are expanded back to every member url.
     exact_dedup_first: bool = True
+    # Singleton rescue pass (round 3): pairwise recall decays with corpus
+    # size (1.0 at 5k -> 0.9962 at 50k -> 0.9876 at 200k entities) because
+    # the 42x3 banding's per-edge catch probability meets an ever-longer
+    # truth-pair tail — a variant whose ONLY edge is missed stays a
+    # singleton. After connected components, records with no fuzzy edge
+    # (~1% of the corpus at 200k) re-probe the corpus with the SAME
+    # signatures regrouped as 63 bands x 2 rows (per-edge catch ~0.9995 at
+    # Jaccard 0.34), new pairs are aligned with the same kernel+threshold,
+    # and components are recomputed. Cost O(|singletons|), not O(corpus):
+    # see blocking.rescue_candidates for the guard stack.
+    rescue_singletons: bool = True
+    rescue_rows_per_band: int = 2
+    rescue_bucket_cap: int = 2000
+    rescue_top_k: int = 500
     params: AlignParams = field(default_factory=unit_cost_params)
 
     def fingerprint(self) -> str:
@@ -93,6 +107,10 @@ class PipelineConfig:
             "similarity_threshold": self.similarity_threshold,
             "text_from_html": self.text_from_html,
             "exact_dedup_first": self.exact_dedup_first,
+            "rescue_singletons": self.rescue_singletons,
+            "rescue_rows_per_band": self.rescue_rows_per_band,
+            "rescue_bucket_cap": self.rescue_bucket_cap,
+            "rescue_top_k": self.rescue_top_k,
             "params": repr(self.params),
         }
         return hashlib.sha256(
@@ -251,7 +269,79 @@ def run_pipeline(
         ).select("id_1", "id_2", "similarity"),
     )
 
-    rep_comps = clustering.connected_components(edges, src="id_1", dst="id_2")
+    if cfg.rescue_singletons:
+        if not ck.has("s4b_rescue_edges"):
+            # Probe set: representatives with NO fuzzy edge after the main
+            # pass — exactly the records the measured recall decay lives
+            # in. (A rep whose exact-dup group has >= 2 members but no
+            # fuzzy edge is still a probe: its group may belong to a
+            # larger fuzzy cluster whose only linking edge was missed.)
+            # CC is cheap relative to scoring (O(E) per iteration, ~1 s at
+            # 100k pages) and runs again after the rescue edges land; on
+            # resume this pre-rescue pass is skipped entirely.
+            pre_comps = clustering.connected_components(
+                edges, src="id_1", dst="id_2"
+            )
+            probe = norm.select("url").join(
+                pre_comps.select(F.col("id").alias("url")), "url", "left_anti"
+            )
+            rescue_caches: list = []
+            r_pairs, r_stats = blocking.rescue_candidates(
+                norm,
+                probe,
+                id_col="url",
+                text_col="norm_text",
+                shingle_k=cfg.shingle_k,
+                num_perm=cfg.num_perm,
+                rows_per_band=cfg.rescue_rows_per_band,
+                bucket_cap=cfg.rescue_bucket_cap,
+                est_jaccard_floor=cfg.est_jaccard_floor,
+                top_k=cfg.rescue_top_k,
+                cache_registry=rescue_caches,
+            )
+            # Pairs the main pass already scored must not be re-aligned.
+            # Every rescue pair touches a probe, so narrowing s1 to rows
+            # touching a probe keeps the anti-join O(|probe|-adjacent),
+            # not O(|s1|): the semi-joins are scans of the checkpointed
+            # narrow candidates table against a broadcastable probe set.
+            seen = (
+                cand.join(probe.select(F.col("url").alias("id_1")),
+                          "id_1", "left_semi")
+                .union(
+                    cand.join(probe.select(F.col("url").alias("id_2")),
+                              "id_2", "left_semi")
+                )
+                .distinct()
+            )
+            r_new = r_pairs.join(seen, ["id_1", "id_2"], "left_anti")
+            r_scored = scoring.with_similarity(
+                scoring.score_pairs(
+                    blocking.attach_texts(r_new, norm, "url", "norm_text"),
+                    cfg.params,
+                    sim_threshold=cfg.similarity_threshold,
+                )
+            )
+            stats_row = r_stats.collect()[0].asDict()
+            rescue_edges = ck.write(
+                "s4b_rescue_edges",
+                r_scored.where(
+                    (~F.col("oversize"))
+                    & (F.col("similarity") >= cfg.similarity_threshold)
+                ).select("id_1", "id_2", "similarity"),
+                meta={"rescue_bucket_stats": stats_row},
+            )
+            for frame in rescue_caches:
+                frame.unpersist()
+        else:
+            rescue_edges = ck.read("s4b_rescue_edges")
+        rep_comps = clustering.connected_components(
+            edges.union(rescue_edges), src="id_1", dst="id_2"
+        )
+    else:
+        rep_comps = clustering.connected_components(
+            edges, src="id_1", dst="id_2"
+        )
+
     if cfg.exact_dedup_first:
         # Expand representative components back to every member url.
         # Each rep is the min url of its exact group, so component labels
@@ -288,6 +378,8 @@ def run_pipeline(
 
     stage_names = ["s0_normalized", "s1_candidates", "s3_scores",
                    "s4_edges", "s5_components"]
+    if cfg.rescue_singletons:
+        stage_names.insert(4, "s4b_rescue_edges")
     if cfg.exact_dedup_first:
         stage_names.insert(1, "s0b_rep_map")
     summary = {
