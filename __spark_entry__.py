@@ -485,6 +485,79 @@ with docs as {DOCS_AUG_SQL},
 select id_1, id_2 from cand
 """
 
+
+# --- Singleton-rescue blocking (pipeline stage s4b as an oracle query) ---
+# The production pipeline re-probes post-clustering singletons with the
+# SAME minhash signatures regrouped at 2 rows per band
+# (pipeline/blocking.rescue_candidates; recall decay evidence in
+# BENCH/r3/SCALE_EVIDENCE.md §3). The oracle needs a closed-form probe
+# predicate, so a deterministic 1/17 slice of doc ids stands in for the
+# singleton set; the distributed shape under test is identical: probe-side
+# semi-join BEFORE pair expansion, so only probes pay the aggressive
+# banding's collision mass.
+_RESCUE_BANDS = 8  # same 16 leading sig positions as 4x4, regrouped 8x2
+_RESCUE_ROWS = MINHASH_PERM // _RESCUE_BANDS
+_RESCUE_PROBE_MOD, _RESCUE_PROBE_RES = 17, 3
+
+
+def q_rescue_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-restricted 2-rows-per-band LSH candidates: the singleton
+    rescue pass's blocking stage (ops.dedup.pairs_from_band_rows with
+    probe_ids; production use in pipeline/orchestrator.py s4b)."""
+    docs = _docs_aug(spark, sf_dir)
+    band = dedup.lsh_band_rows(
+        docs, k=5, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
+        band_perm=MINHASH_PERM, carry_sig=True,
+    )
+    probe = docs.where(
+        (F.col("doc_id") % _RESCUE_PROBE_MOD) == _RESCUE_PROBE_RES
+    ).select("doc_id")
+    return dedup.pairs_from_band_rows(
+        band, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
+        probe_ids=probe,
+    )
+
+
+_RESCUE_BAND_ROWS = "\n  union all\n".join(
+    "  select doc_id, {b} as band_id, md5('{b}' || '|' || {cat}) as band_hash"
+    " from sigs".format(
+        b=b,
+        cat=" || ',' || ".join(
+            f"s{j}::varchar"
+            for j in range(b * _RESCUE_ROWS, (b + 1) * _RESCUE_ROWS)
+        ),
+    )
+    for b in range(_RESCUE_BANDS)
+)
+
+SQL_RESCUE_LSH = f"""
+with docs as {DOCS_AUG_SQL},
+grams as (
+  select doc_id,
+         unnest(list_distinct([substr(text, i, 5)
+                               for i in range(1, greatest(length(text)-4,1)+1)])) as g
+  from docs
+),
+hashed as (select doc_id, {_MH_HASH} from grams),
+sigs as (select doc_id, {_MH_SIG_COLS} from hashed group by doc_id),
+bands as (
+{_RESCUE_BAND_ROWS}
+),
+probes as (
+  select doc_id from docs
+  where doc_id % {_RESCUE_PROBE_MOD} = {_RESCUE_PROBE_RES}
+)
+select distinct least(a.doc_id, b.doc_id) as id_1,
+       greatest(a.doc_id, b.doc_id) as id_2
+from bands a
+join probes p on p.doc_id = a.doc_id
+join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+            and a.doc_id <> b.doc_id
+join sigs sa on sa.doc_id = a.doc_id
+join sigs sb on sb.doc_id = b.doc_id
+where {_MH_SCREEN_SUM} >= {SCREEN_MIN_EQ}
+"""
+
 _ER_CLOSURE_CTES = f"""docs as {DOCS_AUG_SQL},
 {_MH_CAND_CTES},
 edges0 as (
@@ -1590,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "rescue_lsh": q_rescue_lsh,
         "align_pairs_oversize": q_align_pairs_oversize,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1629,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
+        "rescue_lsh": SQL_RESCUE_LSH,
         "align_pairs_oversize": SQL_ALIGN_PAIRS_OVERSIZE,
         "simhash": SQL_SIMHASH,
         "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,

@@ -290,6 +290,7 @@ def pairs_from_band_rows(
     band_rows: DataFrame,
     bucket_cap: int = 500,
     screen_min_eq: int | None = None,
+    probe_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Capped LSH candidate pairs (id_1 < id_2) from (_id, band_id,
     band_hash) rows — the tail of :func:`dedup_minhash_lsh`, callable
@@ -306,7 +307,15 @@ def pairs_from_band_rows(
     boilerplate docs at gen-sf10, 78x for 10x docs) flows through one
     in-stage predicate and only true near-dup survivors are ever
     shuffled. Without it, every colliding pair crosses the distinct — and
-    whatever text-attach join follows — as shuffle bytes."""
+    whatever text-attach join follows — as shuffle bytes.
+
+    ``probe_ids`` (one id column) restricts the LEFT side of the pair
+    join to those ids before expansion — the singleton-rescue shape
+    (pipeline/blocking.rescue_candidates): only the probe set pays the
+    pair expansion, so an aggressive banding (2 rows per band) against a
+    10^12-row band table costs O(|probe| * bucket_cap * bands), not
+    O(corpus^2). Output pairs still satisfy id_1 < id_2 and every pair
+    touches >= 1 probe id."""
     sizes = band_rows.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("bsz")
     )
@@ -318,15 +327,27 @@ def pairs_from_band_rows(
     extra_b = [F.col("sig").alias("sig_2")] if screen_min_eq is not None else []
     a = ok.select("band_id", "band_hash", F.col("_id").alias("id_1"), *extra_a)
     b = ok.select("band_id", "band_hash", F.col("_id").alias("id_2"), *extra_b)
-    pairs = a.join(b, ["band_id", "band_hash"]).where(
-        F.col("id_1") < F.col("id_2")
-    )
+    if probe_ids is not None:
+        probes = probe_ids.select(
+            F.col(probe_ids.columns[0]).alias("id_1")
+        ).distinct()
+        a = a.join(probes, "id_1", "left_semi")
+        pairs = a.join(b, ["band_id", "band_hash"]).where(
+            F.col("id_1") != F.col("id_2")
+        )
+    else:
+        pairs = a.join(b, ["band_id", "band_hash"]).where(
+            F.col("id_1") < F.col("id_2")
+        )
     if screen_min_eq is not None:
         pairs = pairs.where(
             sig_eq_count(F.col("sig_1"), F.col("sig_2"))
             >= F.lit(screen_min_eq)
         )
-    return pairs.select("id_1", "id_2").distinct()
+    return pairs.select(
+        F.least("id_1", "id_2").alias("id_1"),
+        F.greatest("id_1", "id_2").alias("id_2"),
+    ).distinct()
 
 
 def simhash32(text: Column) -> Column:
