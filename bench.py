@@ -36,6 +36,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
+    "rescue_lsh",
     "simhash",
     "simhash_near_pairs",
     "ngram_jaccard",

@@ -328,7 +328,17 @@ def rescue_candidates(
       the main pass already SN-refined its own over-cap buckets, so a
       rescue probe landing only in mega-buckets gains nothing new there;
     - ``est_jaccard_floor`` screens pairs on signature-estimated Jaccard
-      (shared 15-bit-truncation estimator, see ``_pair_est_jaccard``);
+      (shared 15-bit-truncation estimator, see ``_pair_est_jaccard``) —
+      AFTER the pair distinct, deliberately: 2-row banding collides a
+      near-dup in most of its 63 bands, so estimating on the raw join
+      output multiplies the (interpreted, 126-position) comparison by the
+      band multiplicity — measured 3x slower than distinct-first at a
+      100k-page LSH-only run (507.7M distinct collisions). The distinct
+      ships only narrow id pairs; the signature joins that follow are
+      broadcasts (corpus sigs at 15-bit truncation are ~25 MB per 100k
+      docs; at 10^12-row scale the probe-adjacent pair set, not the
+      corpus, bounds that join because only ~bands x bucket_cap partners
+      per probe survive the cap);
     - ``top_k`` keeps only the best-estimated ``top_k`` partners per probe,
       so one degenerate probe (boilerplate text colliding everywhere)
       cannot flood the alignment stage.
@@ -349,8 +359,18 @@ def rescue_candidates(
         ),
     )
     probes = probe_ids.select(F.col(probe_ids.columns[0]).alias("_id")).distinct()
+    # One cheap action up front: |probe| decides the join strategy below
+    # (broadcast only when the probe band rows verifiably fit — a
+    # degenerate run where the main pass found nothing makes the probe
+    # set the whole corpus, and an unconditional broadcast hint would
+    # OOM the driver at scale), and lands in stats as lineage.
+    n_probes = probes.count()
     probe_bands = bands.join(probes, "_id", "left_semi")
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("bsz"))
+    sizes = (
+        bands.select("band_id", "band_hash")
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+    )
     stats = sizes.agg(
         F.count("*").alias("n_buckets"),
         F.sum(F.when(F.col("bsz") > bucket_cap, 1).otherwise(0)).alias(
@@ -368,8 +388,13 @@ def rescue_candidates(
     # Probe rows keep their identity on the LEFT (id_1 = probe) so the
     # per-probe top-k window below has a key; normalization to
     # (least, greatest) happens after the screen.
+    probe_side = probe_bands.select(
+        "band_id", "band_hash", F.col("_id").alias("id_1")
+    )
+    if n_probes * num_bands <= 2_000_000:
+        probe_side = F.broadcast(probe_side)
     raw = (
-        probe_bands.select("band_id", "band_hash", F.col("_id").alias("id_1"))
+        probe_side
         .join(ok.select("band_id", "band_hash", F.col("_id").alias("id_2")),
               ["band_id", "band_hash"])
         .where(F.col("id_1") != F.col("id_2"))
@@ -402,7 +427,7 @@ def rescue_candidates(
             F.sum(F.when(F.col("_est_j") < est_jaccard_floor, 1).otherwise(0)),
             F.lit(0),
         ).alias("n_screened_out"),
-    )
+    ).withColumn("n_probes", F.lit(n_probes))
     return pairs, stats.crossJoin(screen_stats)
 
 
