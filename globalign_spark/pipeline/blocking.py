@@ -293,7 +293,7 @@ def rescue_candidates(
     shingle_k: int = 5,
     num_perm: int = 126,
     rows_per_band: int = 2,
-    bucket_cap: int = 2000,
+    bucket_cap: int = 500,
     seed: int = 1,
     est_jaccard_floor: float = 0.0,
     top_k: int = 500,
@@ -316,12 +316,15 @@ def rescue_candidates(
     regrouped into ``num_perm // rows_per_band`` bands of ``rows_per_band``
     rows. At r=2/63 bands the per-edge catch is ~0.9995 at Jaccard 0.34 and
     ~1.0 at 0.42 — but only records in ``probe_ids`` (the post-clustering
-    singletons, ~1% of the corpus at 200k entities) probe the buckets, so
-    the candidate volume is O(|probe| * bucket_cap * bands), independent of
-    corpus size. The corpus-side cost is one map-only signature+banding
-    pass (linear; a production deployment would checkpoint the s1 signature
-    table and skip recompute — pipeline/bucketing.py already demonstrates
-    the bucketed band-rows layout incremental ER reads).
+    unclustered reps: misses plus true loners, ~30% of reps on the
+    synthetic corpus) probe the buckets, so the candidate volume is
+    O(|probe| * bucket_cap * bands) — linear in corpus size with a
+    cap-bounded constant, vs corpus-wide 2-row banding where EVERY record
+    pays the collision mass. The corpus-side cost is one map-only
+    signature+banding pass (linear; a production deployment would
+    checkpoint the s1 signature table and skip recompute —
+    pipeline/bucketing.py already demonstrates the bucketed band-rows
+    layout incremental ER reads).
 
     Skew guards, in order:
     - buckets over ``bucket_cap`` are dropped AND counted (never silent);

@@ -78,14 +78,20 @@ class PipelineConfig:
     # the 42x3 banding's per-edge catch probability meets an ever-longer
     # truth-pair tail — a variant whose ONLY edge is missed stays a
     # singleton. After connected components, records with no fuzzy edge
-    # (~1% of the corpus at 200k) re-probe the corpus with the SAME
-    # signatures regrouped as 63 bands x 2 rows (per-edge catch ~0.9995 at
-    # Jaccard 0.34), new pairs are aligned with the same kernel+threshold,
-    # and components are recomputed. Cost O(|singletons|), not O(corpus):
-    # see blocking.rescue_candidates for the guard stack.
+    # re-probe the corpus with the SAME signatures regrouped as 63 bands
+    # x 2 rows (per-edge catch ~0.9995 at Jaccard 0.34), new pairs are
+    # aligned with the same kernel+threshold, and components are
+    # recomputed. Measured at 50k entities: recall 0.99623 -> 0.99985
+    # (F1 0.99811 -> 0.99992). The probe set is every unclustered rep —
+    # true loners included, ~30% of reps on this corpus — so the cost is
+    # linear in corpus size with a cap-bounded constant (<= bands x
+    # rescue_bucket_cap collisions per probe), roughly a third of what
+    # corpus-wide 2-row banding would pay; the signature screen + top_k
+    # keep the alignment stage's share of that negligible. See
+    # blocking.rescue_candidates for the guard stack.
     rescue_singletons: bool = True
     rescue_rows_per_band: int = 2
-    rescue_bucket_cap: int = 2000
+    rescue_bucket_cap: int = 500
     rescue_top_k: int = 500
     params: AlignParams = field(default_factory=unit_cost_params)
 
