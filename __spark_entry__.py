@@ -530,6 +530,42 @@ _RESCUE_BAND_ROWS = "\n  union all\n".join(
     for b in range(_RESCUE_BANDS)
 )
 
+def q_er_rescue_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ER closure INCLUDING the singleton rescue pass — the
+    production s4b semantics as one oracle-twinned query: LSH blocking →
+    alignment edges → components → unclustered docs re-probe at 2 rows
+    per band → new pairs aligned with the SAME kernel + threshold →
+    closure over the union. The SQL twin replicates every step
+    (band schemes, signature screen, levenshtein edge test, recursive
+    closure), so the rescue pass's end-to-end cluster output — not just
+    its blocking stage — is hash-checked against DuckDB."""
+    d = _docs_aug(spark, sf_dir)
+    cand = dedup.dedup_minhash_lsh(
+        d, k=5, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
+        bucket_cap=ORACLE_UNCAPPED,
+        band_perm=MINHASH_PERM, screen_min_eq=SCREEN_MIN_EQ,
+    )
+    edges = _cand_to_edges(d, cand)
+    comps0 = connected_components(edges, src="id_1", dst="id_2")
+    probe = d.select("doc_id").join(
+        comps0.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    band = dedup.lsh_band_rows(
+        d, k=5, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
+        band_perm=MINHASH_PERM, carry_sig=True,
+    )
+    r_cand = dedup.pairs_from_band_rows(
+        band, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
+        probe_ids=probe,
+    )
+    r_new = r_cand.join(cand, ["id_1", "id_2"], "left_anti")
+    r_edges = _cand_to_edges(d, r_new)
+    comps = connected_components(
+        edges.union(r_edges), src="id_1", dst="id_2"
+    )
+    return comps.select(F.col("id").alias("doc_id"), "component")
+
+
 SQL_RESCUE_LSH = f"""
 with docs as {DOCS_AUG_SQL},
 grams as (
@@ -589,6 +625,76 @@ from reach group by node
 
 # The incremental path must reproduce the full-batch closure bit-for-bit.
 SQL_ER_INCREMENTAL = SQL_ER_LSH_PIPELINE
+
+# End-to-end rescue twin: main-pass cand/edges (4x4 banding + screen +
+# levenshtein threshold), probes = docs in no edge, rescue cand at 8x2
+# banding minus already-seen pairs, rescue edges by the same test,
+# recursive closure over the union.
+SQL_ER_RESCUE_PIPELINE = f"""
+with recursive docs as {DOCS_AUG_SQL},
+{_MH_CAND_CTES},
+edges0 as (
+  select c.id_1, c.id_2
+  from cand c
+  join docs d1 on d1.doc_id = c.id_1
+  join docs d2 on d2.doc_id = c.id_2
+  where 1.0 - levenshtein(d1.text, d2.text)::DOUBLE
+            / greatest(length(d1.text), length(d2.text)) >= {SIM_THRESHOLD}
+),
+probes as (
+  select doc_id from docs
+  where doc_id not in (select id_1 from edges0
+                       union select id_2 from edges0)
+),
+rbands as (
+{_RESCUE_BAND_ROWS}
+),
+rcand as (
+  select distinct least(a.doc_id, b.doc_id) as id_1,
+         greatest(a.doc_id, b.doc_id) as id_2
+  from rbands a
+  join probes p on p.doc_id = a.doc_id
+  join rbands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+               and a.doc_id <> b.doc_id
+  join sigs sa on sa.doc_id = a.doc_id
+  join sigs sb on sb.doc_id = b.doc_id
+  where {_MH_SCREEN_SUM} >= {SCREEN_MIN_EQ}
+),
+rnew as (
+  -- anti-join, not EXCEPT: DuckDB rejects EXCEPT anywhere inside a
+  -- WITH RECURSIVE block ("only UNION or UNION ALL are supported")
+  select r.id_1, r.id_2 from rcand r
+  where not exists (select 1 from cand c
+                    where c.id_1 = r.id_1 and c.id_2 = r.id_2)
+),
+redges0 as (
+  select c.id_1, c.id_2
+  from rnew c
+  join docs d1 on d1.doc_id = c.id_1
+  join docs d2 on d2.doc_id = c.id_2
+  where 1.0 - levenshtein(d1.text, d2.text)::DOUBLE
+            / greatest(length(d1.text), length(d2.text)) >= {SIM_THRESHOLD}
+),
+alledges0 as (
+  select id_1, id_2 from edges0
+  union
+  select id_1, id_2 from redges0
+),
+edges as (
+  select id_1 as src, id_2 as dst from alledges0
+  union select id_2, id_1 from alledges0
+),
+nodes as (select distinct src as id from edges),
+reach as (
+  select id as node, id as comp from nodes
+  union
+  select e.dst as node, r.comp
+  from reach r join edges e on e.src = r.node
+  where r.comp < e.dst
+)
+select node as doc_id, min(comp) as component
+from reach group by node
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "rescue_lsh": q_rescue_lsh,
+        "er_rescue_pipeline": q_er_rescue_pipeline,
         "align_pairs_oversize": q_align_pairs_oversize,
         "simhash": q_simhash,
         "simhash_near_pairs": q_simhash_near_pairs,
@@ -1704,6 +1811,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": SQL_MINHASH_SIGNATURES,
         "dedup_minhash_lsh": SQL_DEDUP_MINHASH_LSH,
         "rescue_lsh": SQL_RESCUE_LSH,
+        "er_rescue_pipeline": SQL_ER_RESCUE_PIPELINE,
         "align_pairs_oversize": SQL_ALIGN_PAIRS_OVERSIZE,
         "simhash": SQL_SIMHASH,
         "simhash_near_pairs": SQL_SIMHASH_NEAR_PAIRS,

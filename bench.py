@@ -37,6 +37,7 @@ HEADLINE = [
     "minhash_signatures",
     "dedup_minhash_lsh",
     "rescue_lsh",
+    "er_rescue_pipeline",
     "simhash",
     "simhash_near_pairs",
     "ngram_jaccard",
