@@ -648,3 +648,25 @@ def test_kind_dispatch_video_end_to_end(spark):
     )
     assert out[1].features is None
     assert "NotImplementedError" in out[1].decode_error
+
+
+def test_pairs_from_band_rows_probe_mode(docs, spark):
+    """Probe-restricted rescue shape: output must equal the unrestricted
+    pair set filtered to pairs touching a probe (same banding), every
+    pair must touch >= 1 probe id, and id_1 < id_2 still holds."""
+    band = dedup.lsh_band_rows(docs, num_perm=16, num_bands=8)
+    full = {
+        (r.id_1, r.id_2)
+        for r in dedup.pairs_from_band_rows(band, bucket_cap=500).collect()
+    }
+    probe_set = {0, 2}
+    probe = spark.createDataFrame([(i,) for i in probe_set], "doc_id long")
+    got = {
+        (r.id_1, r.id_2)
+        for r in dedup.pairs_from_band_rows(
+            band, bucket_cap=500, probe_ids=probe
+        ).collect()
+    }
+    want = {p for p in full if p[0] in probe_set or p[1] in probe_set}
+    assert got == want and got  # non-empty on this corpus
+    assert all(a < b for a, b in got)
