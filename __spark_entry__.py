@@ -498,12 +498,20 @@ select id_1, id_2 from cand
 _RESCUE_BANDS = 8  # same 16 leading sig positions as 4x4, regrouped 8x2
 _RESCUE_ROWS = MINHASH_PERM // _RESCUE_BANDS
 _RESCUE_PROBE_MOD, _RESCUE_PROBE_RES = 17, 3
+# Production rescue bucket cap (pipeline/orchestrator.py s4b; ablated in
+# BENCH/r3/pipeline_50k_lshonly_rescue_cap500.json). The aggressive 2-rows
+# -per-band rescue scheme makes hot buckets quadratic — at sf0.1, 6 buckets
+# over 500 members (max 1732) carried 68% of the 8.6M uncapped collision
+# mass. The oracle twins encode the identical whole-bucket drop rule, so the
+# capped query stays hash-checked.
+_RESCUE_BUCKET_CAP = 500
 
 
 def q_rescue_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe-restricted 2-rows-per-band LSH candidates: the singleton
     rescue pass's blocking stage (ops.dedup.pairs_from_band_rows with
-    probe_ids; production use in pipeline/orchestrator.py s4b)."""
+    probe_ids; production use in pipeline/orchestrator.py s4b), at the
+    production bucket cap."""
     docs = _docs_aug(spark, sf_dir)
     band = dedup.lsh_band_rows(
         docs, k=5, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
@@ -513,7 +521,7 @@ def q_rescue_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % _RESCUE_PROBE_MOD) == _RESCUE_PROBE_RES
     ).select("doc_id")
     return dedup.pairs_from_band_rows(
-        band, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
+        band, bucket_cap=_RESCUE_BUCKET_CAP, screen_min_eq=SCREEN_MIN_EQ,
         probe_ids=probe,
     )
 
@@ -579,15 +587,28 @@ sigs as (select doc_id, {_MH_SIG_COLS} from hashed group by doc_id),
 bands as (
 {_RESCUE_BAND_ROWS}
 ),
+-- Whole-bucket drop rule, identical to pairs_from_band_rows: bucket size
+-- is counted over the FULL band table (before probe restriction), and an
+-- over-cap bucket contributes no pairs at all.
+band_sz as (
+  select band_id, band_hash, count(*) as bsz
+  from bands group by band_id, band_hash
+),
+okbands as (
+  select b.doc_id, b.band_id, b.band_hash
+  from bands b
+  join band_sz s on s.band_id = b.band_id and s.band_hash = b.band_hash
+  where s.bsz <= {_RESCUE_BUCKET_CAP}
+),
 probes as (
   select doc_id from docs
   where doc_id % {_RESCUE_PROBE_MOD} = {_RESCUE_PROBE_RES}
 )
 select distinct least(a.doc_id, b.doc_id) as id_1,
        greatest(a.doc_id, b.doc_id) as id_2
-from bands a
+from okbands a
 join probes p on p.doc_id = a.doc_id
-join bands b on a.band_id = b.band_id and a.band_hash = b.band_hash
+join okbands b on a.band_id = b.band_id and a.band_hash = b.band_hash
             and a.doc_id <> b.doc_id
 join sigs sa on sa.doc_id = a.doc_id
 join sigs sb on sb.doc_id = b.doc_id

@@ -196,9 +196,29 @@ def lsh_band_rows(
     shuffle weight; the screen it feeds runs BEFORE the pair expansion
     ever hits an exchange).
     """
+    sig = minhash_signature_wide(df, id_col, text_col, k, num_perm)
+    return bands_from_wide_sig(
+        sig, num_perm=num_perm, num_bands=num_bands,
+        band_perm=band_perm, carry_sig=carry_sig,
+    )
+
+
+def bands_from_wide_sig(
+    sig: DataFrame,
+    num_perm: int = 16,
+    num_bands: int = 4,
+    band_perm: int | None = None,
+    carry_sig: bool = False,
+) -> DataFrame:
+    """Band a precomputed wide signature frame (_id, s0..s{P-1}) into
+    (_id, band_id, band_hash[, sig]) rows — the projection tail of
+    :func:`lsh_band_rows`, callable directly so multiple band schemes
+    (e.g. the main 4x4 pass and the singleton-rescue 8x2 pass) derive
+    from ONE signature computation instead of re-sharding and re-hashing
+    the corpus per scheme. Pure codegen: an md5-of-concat array build
+    plus one posexplode, no shuffle."""
     bp = band_perm or num_perm
     rows = bp // num_bands
-    sig = minhash_signature_wide(df, id_col, text_col, k, num_perm)
     band_cols = F.array(
         *[
             F.md5(
