@@ -94,6 +94,31 @@ def band_keys_col(signature, num_bands: int, num_perm: int):
     )
 
 
+def corpus_signatures(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "norm_text",
+    shingle_k: int = 5,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """(_id, signature) MinHash signature table for the corpus — the ONE
+    shingle+hash+permutation-minima pass every banding scheme derives
+    from. The orchestrator checkpoints this as ``s1_signatures`` so the
+    main banding pass, its signature screen, AND the singleton-rescue
+    re-banding (s4b) all read a parquet scan instead of each re-paying
+    the full-corpus map pass — at 10^12 rows, shingling + P permutation
+    minima is the most expensive narrow transformation in the pipeline,
+    and without sharing it the rescue pass runs it a second time over
+    the entire corpus for a probe set that is a few percent of it.
+    """
+    return minhash_signature_col(
+        df.select(F.col(id_col).alias("_id"),
+                  shingle_hashes(F.col(text_col), shingle_k).alias("_hs")),
+        "_hs", num_perm=num_perm, seed=seed,
+    ).select("_id", "signature")
+
+
 def lsh_candidates(
     df: DataFrame,
     id_col: str = "url",
@@ -106,6 +131,7 @@ def lsh_candidates(
     over_cap_window: int = 8,
     est_jaccard_floor: float = 0.0,
     cache_registry: list | None = None,
+    sig_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate id pairs from banded MinHash LSH.
 
@@ -131,11 +157,18 @@ def lsh_candidates(
     admits background collisions on shingle-dense corpora; the screen
     keeps the expensive alignment stage's input volume bounded at a cost
     of num_perm longs per comparison instead of a full DP.
+
+    ``sig_df``: a precomputed (_id, signature) frame (usually the re-read
+    ``s1_signatures`` checkpoint from :func:`corpus_signatures`); when
+    given, the shingle+minhash pass is skipped and banding starts from
+    the scan. Signatures must have been built with the SAME shingle_k /
+    num_perm / seed — the orchestrator guarantees this by deriving both
+    from one config fingerprint.
     """
-    with_sig = minhash_signature_col(
-        df.select(F.col(id_col).alias("_id"),
-                  shingle_hashes(F.col(text_col), shingle_k).alias("_hs")),
-        "_hs", num_perm=num_perm, seed=seed,
+    with_sig = (
+        sig_df.select("_id", "signature")
+        if sig_df is not None
+        else corpus_signatures(df, id_col, text_col, shingle_k, num_perm, seed)
     )
     bands = with_sig.select(
         "_id",
@@ -298,6 +331,7 @@ def rescue_candidates(
     est_jaccard_floor: float = 0.0,
     top_k: int = 500,
     cache_registry: list | None = None,
+    sig_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Aggressive-banding LSH candidates for a SMALL probe set against the
     whole corpus — the singleton rescue pass.
@@ -320,11 +354,11 @@ def rescue_candidates(
     synthetic corpus) probe the buckets, so the candidate volume is
     O(|probe| * bucket_cap * bands) — linear in corpus size with a
     cap-bounded constant, vs corpus-wide 2-row banding where EVERY record
-    pays the collision mass. The corpus-side cost is one map-only
-    signature+banding pass (linear; a production deployment would
-    checkpoint the s1 signature table and skip recompute —
-    pipeline/bucketing.py already demonstrates the bucketed band-rows
-    layout incremental ER reads).
+    pays the collision mass. The corpus-side cost is one map-only banding
+    projection over ``sig_df`` — the checkpointed ``s1_signatures`` table
+    the orchestrator passes in (:func:`corpus_signatures`), so the
+    shingle+minhash pass itself is NOT re-paid here; without ``sig_df``
+    the signatures are recomputed from text (same seed → bit-identical).
 
     Skew guards, in order:
     - buckets over ``bucket_cap`` are dropped AND counted (never silent);
@@ -350,10 +384,10 @@ def rescue_candidates(
     every pair touching >= 1 probe id; stats is a 1-row accounting frame.
     """
     num_bands = num_perm // rows_per_band
-    with_sig = minhash_signature_col(
-        df.select(F.col(id_col).alias("_id"),
-                  shingle_hashes(F.col(text_col), shingle_k).alias("_hs")),
-        "_hs", num_perm=num_perm, seed=seed,
+    with_sig = (
+        sig_df.select("_id", "signature")
+        if sig_df is not None
+        else corpus_signatures(df, id_col, text_col, shingle_k, num_perm, seed)
     )
     bands = with_sig.select(
         "_id",

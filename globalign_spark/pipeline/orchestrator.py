@@ -215,6 +215,28 @@ def run_pipeline(
             "left_semi",
         )
 
+    # One corpus-wide shingle+minhash pass, checkpointed: the main banding
+    # pass (s1), its signature screen, and the singleton-rescue re-banding
+    # (s4b) all derive from this parquet scan instead of each recomputing
+    # P permutation minima over every document — at 10^12 rows that
+    # recompute is a second full-corpus map pass spent on a probe set
+    # that is a few percent of the corpus. Gated so a fully-resumed run
+    # (both downstream checkpoints present) never materializes it.
+    need_sig = not ck.has("s1_candidates") or (
+        cfg.rescue_singletons and not ck.has("s4b_rescue_edges")
+    )
+    sig = (
+        ck.write(
+            "s1_signatures",
+            blocking.corpus_signatures(
+                norm, id_col="url", text_col="norm_text",
+                shingle_k=cfg.shingle_k, num_perm=cfg.num_perm,
+            ),
+        )
+        if need_sig
+        else None
+    )
+
     if not ck.has("s1_candidates"):
         s1_caches: list = []
         lsh_pairs, lsh_stats = blocking.lsh_candidates(
@@ -228,6 +250,7 @@ def run_pipeline(
             over_cap_window=cfg.over_cap_window,
             est_jaccard_floor=cfg.est_jaccard_floor,
             cache_registry=s1_caches,
+            sig_df=sig,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",
@@ -304,6 +327,7 @@ def run_pipeline(
                 est_jaccard_floor=cfg.est_jaccard_floor,
                 top_k=cfg.rescue_top_k,
                 cache_registry=rescue_caches,
+                sig_df=sig,
             )
             # Pairs the main pass already scored must not be re-aligned.
             # Every rescue pair touches a probe, so narrowing s1 to rows
@@ -388,6 +412,9 @@ def run_pipeline(
         stage_names.insert(4, "s4b_rescue_edges")
     if cfg.exact_dedup_first:
         stage_names.insert(1, "s0b_rep_map")
+    # Written on fresh runs; a fully-resumed run may legitimately lack it.
+    if ck.has("s1_signatures"):
+        stage_names.insert(1, "s1_signatures")
     summary = {
         "stages": {
             n: {k: v for k, v in ck.manifest(n).items() if k != "lineage"}

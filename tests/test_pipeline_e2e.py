@@ -106,7 +106,7 @@ def test_pipeline_resume_skips_stages(spark, pipeline_result):
         p.parent.name: p.stat().st_mtime
         for p in Path(wh).glob("*/_MANIFEST.json")
     }
-    assert len(before) == 7  # incl. s0b_rep_map + s4b_rescue_edges
+    assert len(before) == 8  # incl. s0b_rep_map, s1_signatures, s4b_rescue_edges
     t0 = time.time()
     cfg = PipelineConfig(warehouse=str(wh), text_from_html=True)
     summary2 = run_pipeline(spark, pages, cfg)
@@ -659,3 +659,48 @@ def test_singleton_rescue_recovers_missed_edges(spark, tmp_path):
     # checkpoint (manifest fingerprint must match the new config hash).
     again = run_pipeline(spark, pages, cfg_on, labeled_pairs=truth)
     assert again["eval"] == on["eval"]
+
+
+def test_shared_signature_table_parity(spark, tmp_path):
+    """The checkpointed s1_signatures table feeds both banding schemes:
+    lsh_candidates and rescue_candidates given a precomputed (_id,
+    signature) frame must produce exactly the pairs they produce when
+    recomputing signatures from text (same seed => bit-identical), and a
+    fresh pipeline run must write the s1_signatures checkpoint once."""
+    from globalign_spark.pipeline import blocking
+
+    pages = pages_df(spark, n_entities=80, seed=7)
+    docs = pages.select(
+        "url", extract_text(F.col("html")).alias("norm_text")
+    )
+    sig = blocking.corpus_signatures(docs, num_perm=42)
+    # Round-trip through parquet: production reads a scan, not lineage.
+    p = str(tmp_path / "sigs")
+    sig.write.parquet(p)
+    sig = spark.read.parquet(p)
+
+    from_text, _ = blocking.lsh_candidates(
+        docs, num_perm=42, num_bands=14, est_jaccard_floor=0.25
+    )
+    from_sig, _ = blocking.lsh_candidates(
+        docs, num_perm=42, num_bands=14, est_jaccard_floor=0.25,
+        sig_df=sig,
+    )
+    assert sorted(map(tuple, from_text.collect())) == sorted(
+        map(tuple, from_sig.collect())
+    )
+
+    probe = docs.select("url").limit(15)
+    r_text, _ = blocking.rescue_candidates(docs, probe, num_perm=42)
+    r_sig, _ = blocking.rescue_candidates(docs, probe, num_perm=42,
+                                          sig_df=sig)
+    assert sorted(map(tuple, r_text.collect())) == sorted(
+        map(tuple, r_sig.collect())
+    )
+
+    cfg = PipelineConfig(warehouse=str(tmp_path / "wh"))
+    out = run_pipeline(spark, pages, cfg,
+                       labeled_pairs=labeled_pairs_df(pages))
+    assert out["eval"]["f1"] >= 0.99, out["eval"]
+    assert "s1_signatures" in out["stages"]
+    assert out["stages"]["s1_signatures"]["rows"] > 0
