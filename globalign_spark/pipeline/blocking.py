@@ -36,6 +36,12 @@ from pyspark.sql.types import ArrayType, LongType
 # Mersenne prime 2^61 - 1: universal-hash modulus for the permutations.
 _MERSENNE = (1 << 61) - 1
 
+# Corpus-size guard for broadcasting the 15-bit-truncated signature table
+# in the pair screen (see _pair_est_jaccard): ~300 B/doc -> ~600 MB at the
+# cap, comfortably inside executor memory; beyond it the screen joins stay
+# shuffle-based.
+_SIG_BROADCAST_MAX_DOCS = 2_000_000
+
 
 def shingle_hashes(text, k: int = 5):
     """Distinct k-char shingle hashes of a text column (JVM-side only).
@@ -132,6 +138,7 @@ def lsh_candidates(
     est_jaccard_floor: float = 0.0,
     cache_registry: list | None = None,
     sig_df: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate id pairs from banded MinHash LSH.
 
@@ -240,7 +247,8 @@ def lsh_candidates(
         )
         pairs = pairs.union(refined).distinct()
     if est_jaccard_floor > 0:
-        est = _pair_est_jaccard(pairs, with_sig, num_perm, cache_registry)
+        est = _pair_est_jaccard(pairs, with_sig, num_perm, cache_registry,
+                                n_docs=n_docs)
         # Drop accounting rides on the stats frame (crossJoin of two 1-row
         # aggregates). coalesce: F.sum over an EMPTY frame is NULL, and
         # the lineage contract is a counted zero, not None.
@@ -268,6 +276,7 @@ def _pair_est_jaccard(
     with_sig: DataFrame,
     num_perm: int,
     cache_registry: list | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """(id_1, id_2) -> (id_1, id_2, _est_j): MinHash-estimated Jaccard of
     each pair, from ``with_sig``'s (_id, signature) columns.
@@ -288,6 +297,20 @@ def _pair_est_jaccard(
     reader), so a stats action and a pairs action share one execution of
     the upstream bucket join; pass ``cache_registry`` to receive the
     persisted frame and release it once all readers have run.
+
+    ``n_docs`` (when the caller knows the corpus row count — the
+    orchestrator reads it from the s1_signatures manifest, zero extra
+    actions): at or under ``_SIG_BROADCAST_MAX_DOCS`` the truncated sig
+    table is broadcast, turning both pair-sig joins into map-side hash
+    probes with NO pair-row shuffle. Without the hint Spark plans an SMJ
+    that shuffles and sorts every candidate pair WITH its two attached
+    signatures — measured fatal at 400k docs: the 63x2 rescue banding's
+    ~520M collision rows times ~260 B of smallint arrays filled this
+    box's 94 GB of usable disk with sort spill (run log
+    BENCH/r3/pipeline_200k_rescue_oom.log). The truncated table is
+    ~300 B/doc (~600 MB at the 2M-doc guard); past the guard the SMJ is
+    the honest plan — at 10^12 rows no corpus-wide table broadcasts, and
+    the bucket cap bounds the pair volume per probe instead.
     """
     sigs = with_sig.select(
         "_id",
@@ -295,6 +318,8 @@ def _pair_est_jaccard(
             "signature", lambda x: (x.bitwiseAND(F.lit(32767))).cast("smallint")
         ).alias("ssig"),
     )
+    if n_docs is not None and n_docs <= _SIG_BROADCAST_MAX_DOCS:
+        sigs = F.broadcast(sigs)
     est = (
         pairs
         .join(sigs.select(F.col("_id").alias("id_1"),
@@ -332,6 +357,7 @@ def rescue_candidates(
     top_k: int = 500,
     cache_registry: list | None = None,
     sig_df: DataFrame | None = None,
+    n_docs: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Aggressive-banding LSH candidates for a SMALL probe set against the
     whole corpus — the singleton rescue pass.
@@ -439,7 +465,7 @@ def rescue_candidates(
         .distinct()
     )
     caches: list = []
-    est = _pair_est_jaccard(raw, with_sig, num_perm, caches)
+    est = _pair_est_jaccard(raw, with_sig, num_perm, caches, n_docs=n_docs)
     if cache_registry is not None:
         cache_registry.extend(caches)
     screened = est.where(F.col("_est_j") >= est_jaccard_floor)

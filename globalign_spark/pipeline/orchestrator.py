@@ -236,6 +236,9 @@ def run_pipeline(
         if need_sig
         else None
     )
+    # Corpus row count for the screen's broadcast guard, read from the
+    # manifest just written — zero extra Spark actions.
+    n_docs = ck.manifest("s1_signatures")["rows"] if need_sig else None
 
     if not ck.has("s1_candidates"):
         s1_caches: list = []
@@ -251,6 +254,7 @@ def run_pipeline(
             est_jaccard_floor=cfg.est_jaccard_floor,
             cache_registry=s1_caches,
             sig_df=sig,
+            n_docs=n_docs,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",
@@ -328,6 +332,7 @@ def run_pipeline(
                 top_k=cfg.rescue_top_k,
                 cache_registry=rescue_caches,
                 sig_df=sig,
+                n_docs=n_docs,
             )
             # Pairs the main pass already scored must not be re-aligned.
             # Every rescue pair touches a probe, so narrowing s1 to rows
