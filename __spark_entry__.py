@@ -548,18 +548,32 @@ def q_er_rescue_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure), so the rescue pass's end-to-end cluster output — not just
     its blocking stage — is hash-checked against DuckDB."""
     d = _docs_aug(spark, sf_dir)
-    cand = dedup.dedup_minhash_lsh(
-        d, k=5, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
-        bucket_cap=ORACLE_UNCAPPED,
-        band_perm=MINHASH_PERM, screen_min_eq=SCREEN_MIN_EQ,
+    # ONE wide-signature computation feeds both band schemes (the
+    # orchestrator's s1_signatures pattern, pipeline/orchestrator.py).
+    # Lazily localCheckpointed: the signature lineage (gram explode +
+    # md5 + 64 min-aggregates) otherwise re-executes once per plan
+    # branch, and this query references it from the main-pass bucket
+    # sizing, both pair-join sides, the edge attach, every CC iteration's
+    # re-execution, AND the rescue banding — the >=8-branch regime where
+    # materialization measured 2.6x faster (see dedup_minhash_lsh's
+    # docstring for the paired-run evidence and the 3-branch counter-case).
+    sig = dedup.minhash_signature_wide(
+        d, "doc_id", "text", 5, SIG_PERM
+    ).localCheckpoint(eager=False)
+    band_main = dedup.bands_from_wide_sig(
+        sig, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
+        band_perm=MINHASH_PERM, carry_sig=True,
+    )
+    cand = dedup.pairs_from_band_rows(
+        band_main, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
     )
     edges = _cand_to_edges(d, cand)
     comps0 = connected_components(edges, src="id_1", dst="id_2")
     probe = d.select("doc_id").join(
         comps0.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
     )
-    band = dedup.lsh_band_rows(
-        d, k=5, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
+    band = dedup.bands_from_wide_sig(
+        sig, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
         band_perm=MINHASH_PERM, carry_sig=True,
     )
     r_cand = dedup.pairs_from_band_rows(
