@@ -18,8 +18,8 @@ def test_main_pipeline_and_resume(spark, tmp_path, capsys):
     summary = json.loads(out[out.index("{"):])
     assert summary["eval"]["f1"] >= 0.99
     assert set(summary["stages"]) == {
-        "s0_normalized", "s0b_rep_map", "s1_candidates", "s3_scores",
-        "s4_edges", "s4b_rescue_edges", "s5_components",
+        "s0_normalized", "s1_signatures", "s0b_rep_map", "s1_candidates",
+        "s3_scores", "s4_edges", "s4b_rescue_edges", "s5_components",
     }
     # second run resumes: all stage manifests reused
     assert main_mod.main(argv) == 0
