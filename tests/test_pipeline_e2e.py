@@ -704,3 +704,32 @@ def test_shared_signature_table_parity(spark, tmp_path):
     assert out["eval"]["f1"] >= 0.99, out["eval"]
     assert "s1_signatures" in out["stages"]
     assert out["stages"]["s1_signatures"]["rows"] > 0
+
+
+def test_rescue_top_k_keeps_best_partners(spark):
+    """top_k ranks a probe's partners by signature-estimated Jaccard and
+    keeps only the best k — the knob that bounds the rescue pass's
+    alignment volume (each singleton needs its best partner, not every
+    bucket cohabitant). top_k=1 must keep, for every probe that has any
+    partner, exactly its top-estimated pair, and that pair set must be a
+    subset of the uncapped run's."""
+    from globalign_spark.pipeline import blocking
+
+    pages = pages_df(spark, n_entities=60, seed=11)
+    docs = pages.select(
+        "url", extract_text(F.col("html")).alias("norm_text")
+    )
+    probe = docs.select("url").limit(12)
+    uncapped, _ = blocking.rescue_candidates(
+        docs, probe, num_perm=42, top_k=0
+    )
+    top1, _ = blocking.rescue_candidates(
+        docs, probe, num_perm=42, top_k=1
+    )
+    un = set(map(tuple, uncapped.collect()))
+    t1 = set(map(tuple, top1.collect()))
+    assert t1 <= un
+    # Each probe introduces at most one pair at top_k=1 (a probe may
+    # additionally APPEAR in other probes' best pairs, so per-id counts
+    # are unbounded — the bound is on the total).
+    assert t1 and len(t1) <= probe.count()
