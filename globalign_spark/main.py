@@ -58,7 +58,7 @@ def build_parser() -> argparse.ArgumentParser:
                         " (2-row re-banding of records with no fuzzy edge)")
     p.add_argument("--rescue-rows-per-band", type=int, default=2)
     p.add_argument("--rescue-bucket-cap", type=int, default=500)
-    p.add_argument("--rescue-top-k", type=int, default=500,
+    p.add_argument("--rescue-top-k", type=int, default=50,
                    help="best-estimated-Jaccard partners kept per rescued"
                         " singleton (0 = unlimited)")
     p.add_argument("--text-from-html", action="store_true",
