@@ -513,17 +513,24 @@ def q_rescue_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_ids; production use in pipeline/orchestrator.py s4b), at the
     production bucket cap."""
     docs = _docs_aug(spark, sf_dir)
-    band = dedup.lsh_band_rows(
-        docs, k=5, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
-        band_perm=MINHASH_PERM, carry_sig=True,
+    # r=2 banding: distinct pairs first, THEN the signature screen with
+    # the sig table broadcast (dedup.screen_pairs_by_sig — same per-pair
+    # predicate as screen_min_eq, measured 2.4x faster at 2-row banding
+    # where band multiplicity would re-run the screen per colliding band).
+    sig = dedup.minhash_signature_wide(
+        docs, "doc_id", "text", 5, SIG_PERM
+    ).localCheckpoint(eager=False)
+    band = dedup.bands_from_wide_sig(
+        sig, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
+        band_perm=MINHASH_PERM,
     )
     probe = docs.where(
         (F.col("doc_id") % _RESCUE_PROBE_MOD) == _RESCUE_PROBE_RES
     ).select("doc_id")
-    return dedup.pairs_from_band_rows(
-        band, bucket_cap=_RESCUE_BUCKET_CAP, screen_min_eq=SCREEN_MIN_EQ,
-        probe_ids=probe,
+    raw = dedup.pairs_from_band_rows(
+        band, bucket_cap=_RESCUE_BUCKET_CAP, probe_ids=probe,
     )
+    return dedup.screen_pairs_by_sig(raw, sig, SIG_PERM, SCREEN_MIN_EQ)
 
 
 _RESCUE_BAND_ROWS = "\n  union all\n".join(
@@ -564,21 +571,32 @@ def q_er_rescue_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, num_perm=SIG_PERM, num_bands=MINHASH_BANDS,
         band_perm=MINHASH_PERM, carry_sig=True,
     )
+    # cand is read by THREE executions (main-pass edges, and — because
+    # connected_components checkpoints only its own input — again under
+    # the final union's CC, plus the rescue anti-join); edges' alignment
+    # lineage is read by TWO (comps0's checkpoint and the final union).
+    # Lazy localCheckpoints collapse both to one execution each: the
+    # rescue variant of the >=4-branch materialization rule (the paired
+    # measurement lives in dedup_minhash_lsh's docstring).
     cand = dedup.pairs_from_band_rows(
         band_main, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
-    )
-    edges = _cand_to_edges(d, cand)
+    ).localCheckpoint(eager=False)
+    edges = _cand_to_edges(d, cand).localCheckpoint(eager=False)
     comps0 = connected_components(edges, src="id_1", dst="id_2")
     probe = d.select("doc_id").join(
         comps0.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
     )
     band = dedup.bands_from_wide_sig(
         sig, num_perm=SIG_PERM, num_bands=_RESCUE_BANDS,
-        band_perm=MINHASH_PERM, carry_sig=True,
+        band_perm=MINHASH_PERM,
     )
-    r_cand = dedup.pairs_from_band_rows(
-        band, bucket_cap=ORACLE_UNCAPPED, screen_min_eq=SCREEN_MIN_EQ,
-        probe_ids=probe,
+    # Distinct-first screen for the r=2 rescue banding (same predicate,
+    # same result set as screen_min_eq in-join — see screen_pairs_by_sig).
+    r_cand = dedup.screen_pairs_by_sig(
+        dedup.pairs_from_band_rows(
+            band, bucket_cap=ORACLE_UNCAPPED, probe_ids=probe,
+        ),
+        sig, SIG_PERM, SCREEN_MIN_EQ,
     )
     r_new = r_cand.join(cand, ["id_1", "id_2"], "left_anti")
     r_edges = _cand_to_edges(d, r_new)
