@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from globalign_spark.config import unit_cost_params  # noqa: E402
 from globalign_spark.ops import curation, dedup, similarity, text as text_ops  # noqa: E402
+from globalign_spark.ops import web as web_ops  # noqa: E402
 from globalign_spark.pipeline import blocking, incremental, metrics  # noqa: E402
 from globalign_spark.pipeline.clustering import connected_components  # noqa: E402
 from globalign_spark.pipeline.scoring import score_pairs  # noqa: E402
@@ -1806,6 +1807,204 @@ from counts
 """
 
 
+# ------------------------------------------- web curation (round 3 adds)
+# Gopher-style repetition signals, CCNet-style corpus line dedup, and URL
+# canonicalization dedup — the three cheapest-per-byte curation passes a
+# CC-scale training-data pipeline runs BEFORE any MinHash/alignment work.
+# The synthetic corpus is single-line word soup, so lines are deterministic
+# fixed-width token chunks (ops/text.chunk_lines) — identical in both
+# engines; real pages use use_newlines=True with the same downstream plan.
+
+REP_LINE_WIDTH = 5
+LINE_DEDUP_WIDTH = 2
+LINE_DEDUP_MAX_DF = 20
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.add_repetition_features(
+        _t(spark, sf_dir, "documents"), line_width=REP_LINE_WIDTH
+    )
+
+
+SQL_REPETITION = f"""
+with base as (
+  select doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') as words
+  from documents
+),
+lines as (
+  select doc_id,
+         unnest([array_to_string(
+                   words[i*{REP_LINE_WIDTH}+1 : i*{REP_LINE_WIDTH}+{REP_LINE_WIDTH}], ' ')
+                 for i in range(0, greatest(ceil(len(words)/{REP_LINE_WIDTH}.0)::INT, 1))])
+           as line
+  from base
+),
+line_stats as (
+  select doc_id, sum(c) as n_lines, count(*) as n_distinct,
+         sum(length(line)*c) as chars_total,
+         sum(case when c > 1 then length(line)*c else 0 end) as chars_dup
+  from (select doc_id, line, count(*) as c from lines group by doc_id, line)
+  group by doc_id
+),
+bigrams as (
+  select doc_id,
+         unnest([words[i] || ' ' || words[i+1]
+                 for i in range(1, len(words))]) as bg
+  from base
+),
+bg_stats as (
+  select doc_id, max(c) as top_c, sum(c) as n_bg
+  from (select doc_id, bg, count(*) as c from bigrams group by doc_id, bg)
+  group by doc_id
+),
+rounded as (
+  select b.doc_id,
+         ls.n_lines::BIGINT as n_lines,
+         floor((1.0 - ls.n_distinct::DOUBLE / ls.n_lines) * 1e6 + 0.5)/1e6
+           as dup_line_frac,
+         floor((ls.chars_dup::DOUBLE / greatest(ls.chars_total, 1)) * 1e6 + 0.5)/1e6
+           as dup_line_char_frac,
+         floor(coalesce(bs.top_c::DOUBLE / bs.n_bg, 0.0) * 1e6 + 0.5)/1e6
+           as top_bigram_frac
+  from base b
+  join line_stats ls using (doc_id)
+  left join bg_stats bs using (doc_id)
+)
+select doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac,
+       (dup_line_frac > 0.30 or top_bigram_frac > 0.18) as repetitive
+from rounded
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.line_dedup(
+        _t(spark, sf_dir, "documents"),
+        line_width=LINE_DEDUP_WIDTH,
+        max_df=LINE_DEDUP_MAX_DF,
+    )
+
+
+SQL_LINE_DEDUP = f"""
+with base as (
+  select doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') as words
+  from documents
+),
+exploded as (
+  select doc_id,
+         unnest(range(0, greatest(ceil(len(words)/{LINE_DEDUP_WIDTH}.0)::INT, 1)))
+           as pos,
+         unnest([array_to_string(
+                   words[i*{LINE_DEDUP_WIDTH}+1 : i*{LINE_DEDUP_WIDTH}+{LINE_DEDUP_WIDTH}], ' ')
+                 for i in range(0, greatest(ceil(len(words)/{LINE_DEDUP_WIDTH}.0)::INT, 1))])
+           as line
+  from base
+),
+hashed as (
+  select doc_id, pos, line,
+         ('0x'||substr(md5(line),1,12))::BIGINT as lh
+  from exploded
+),
+freq as (
+  select lh from hashed group by lh
+  having count(distinct doc_id) <= {LINE_DEDUP_MAX_DF}
+),
+rebuilt as (
+  select doc_id, string_agg(line, ' ' order by pos) as clean_text,
+         count(*) as n_kept
+  from hashed join freq using (lh)
+  group by doc_id
+),
+totals as (select doc_id, count(*) as n_total from hashed group by doc_id)
+select t.doc_id,
+       coalesce(r.clean_text, '') as clean_text,
+       coalesce(r.n_kept, 0)::BIGINT as n_kept,
+       (t.n_total - coalesce(r.n_kept, 0))::BIGINT as n_dropped
+from totals t left join rebuilt r using (doc_id)
+"""
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic url spellings over doc_id: several mod-class
+    decorations (case, www, default port, trailing slash, tracking params,
+    fragment) that all collapse to the same canonical url — the CC
+    duplicate classes the canonicalizer exists for. The same expression is
+    inlined in SYNTH_URLS_SQL so both engines dedup the identical input."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), s(d % 7), F.lit(".Example.com"),
+        F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/items/"), s(d % 50),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit("?utm_source=feed&page="), s(d % 6)))
+        .when(d % 5 == 1, F.concat(F.lit("?page="), s(d % 6)))
+        .otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+
+
+SYNTH_URLS_SQL = """
+  (select doc_id,
+     'HTTPS://'
+     || case when doc_id % 3 = 0 then 'WWW.' else '' end
+     || 'Site' || (doc_id % 7)::VARCHAR || '.Example.com'
+     || case when doc_id % 4 = 0 then ':443' else '' end
+     || '/items/' || (doc_id % 50)::VARCHAR
+     || case when doc_id % 2 = 0 then '/' else '' end
+     || case when doc_id % 5 = 0 then '?utm_source=feed&page=' || (doc_id % 6)::VARCHAR
+             when doc_id % 5 = 1 then '?page=' || (doc_id % 6)::VARCHAR
+             else '' end
+     || case when doc_id % 8 = 0 then '#top' else '' end as url
+   from documents)
+"""
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_ops.url_dedup(_synth_urls(spark, sf_dir))
+
+
+# Mirror of ops/web.canonical_url, step for step; DuckDB RE2 needs \\1
+# backrefs and an explicit 'g' flag where Spark replaces globally.
+SQL_URL_DEDUP = rf"""
+with u0 as (
+  select doc_id, regexp_replace(url, '#.*$', '') as u from {SYNTH_URLS_SQL}
+),
+u1 as (
+  select doc_id,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+         || regexp_replace(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') as u
+  from u0
+),
+u2 as (select doc_id,
+         regexp_replace(u, '^([a-z][a-z0-9+.-]*://)[^/?#@]*@', '\1') as u from u1),
+u3 as (select doc_id,
+         regexp_replace(u, '^(http://[^/?#:]*):80([/?#]|$)', '\1\2') as u from u2),
+u4 as (select doc_id,
+         regexp_replace(u, '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') as u from u3),
+u5 as (select doc_id,
+         regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') as u from u4),
+u6 as (select doc_id,
+         regexp_replace(u, '[?&](utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g') as u from u5),
+u7 as (select doc_id, regexp_replace(u, '^([^?]*?)&', '\1?') as u from u6),
+u8 as (select doc_id, regexp_replace(u, '[?&]$', '') as u from u7),
+u9 as (select doc_id,
+         regexp_replace(u, '(://[^/?#]*/[^?#]*?)/+(\?|$)', '\1\2') as u from u8),
+canon as (select doc_id, regexp_replace(u, '/+$', '') as u from u9)
+select u as canonical_url,
+       min(doc_id) as keep_id,
+       count(*) as n_urls,
+       min(regexp_replace(
+             regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1),
+             ':[0-9]+$', '')) as canonical_host
+from canon group by u
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -1833,6 +2032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "token_counts": q_token_counts,
         "quality": q_quality,
+        "repetition": q_repetition,
+        "line_dedup": q_line_dedup,
+        "url_dedup": q_url_dedup,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -1874,6 +2076,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": SQL_LANG_ID,
         "token_counts": SQL_TOKEN_COUNTS,
         "quality": SQL_QUALITY,
+        "repetition": SQL_REPETITION,
+        "line_dedup": SQL_LINE_DEDUP,
+        "url_dedup": SQL_URL_DEDUP,
         "corpus_curation": SQL_CORPUS_CURATION,
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,

@@ -229,3 +229,188 @@ def fingerprint_overlap_pairs(
         .agg(F.count("*").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+# ------------------------------------------------------------------ lines
+# "Lines" for the repetition / line-dedup operators. Real web pages have
+# newline structure; the synthetic corpus is single-line word soup, so the
+# operators take the line definition as a parameter: split on '\n' when the
+# text has newlines, else chunk the whitespace tokens into fixed-width
+# pseudo-lines (deterministic in both engines, so the DuckDB twins verify
+# values). Chunking semantics: words[i*w : (i+1)*w] joined by a single
+# space, ceil(n/w) chunks, one empty chunk for empty text.
+
+
+def chunk_lines(text: Column, width: int) -> Column:
+    """Array of pseudo-lines: whitespace tokens in fixed-width chunks."""
+    words = ws_tokens(text)
+    n_chunks = F.ceil(F.size(words) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i * width + 1, width), " "),
+    )
+
+
+def split_lines(text: Column) -> Column:
+    """Real newline split (web pages with structure), empties removed."""
+    return F.filter(F.split(text, "\n"), lambda s: s != "")
+
+
+def add_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_width: int = 5,
+    use_newlines: bool = False,
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    documents dominated by repeated lines or one repeated n-gram are
+    boilerplate/spam and poison LLM training data.
+
+    Emits per doc:
+      - ``n_lines``            total lines (pseudo-lines unless newlines)
+      - ``dup_line_frac``      1 - distinct_lines/lines (count basis)
+      - ``dup_line_char_frac`` chars inside duplicated lines / total line
+                               chars (Gopher's character basis)
+      - ``top_bigram_frac``    share of word-bigram slots taken by the most
+                               frequent bigram (0 when < 2 words)
+      - ``repetitive``         Gopher-shaped gate: dup_line_frac > 0.30 or
+                               top_bigram_frac > 0.18
+
+    Scale shape: two explode -> hash-groupBy legs (lines, bigrams), each
+    with map-side partial aggregation, joined back on the doc id — no
+    self-join, no window over the corpus, all codegen. Fractions are
+    6-dp-rounded via ``similarity.round6`` so the SQL twin is bit-stable.
+    """
+    t = F.col(text_col)
+    lines_arr = split_lines(t) if use_newlines else chunk_lines(t, line_width)
+    base = df.select(F.col(id_col).alias("_id"), lines_arr.alias("_lines"),
+                     ws_tokens(t).alias("_words"))
+
+    lines = base.select("_id", F.explode("_lines").alias("line"))
+    per_line = lines.groupBy("_id", "line").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("_id").agg(
+        F.sum("c").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.length("line") * F.col("c")).alias("chars_total"),
+        F.sum(
+            F.when(F.col("c") > 1, F.length("line") * F.col("c")).otherwise(0)
+        ).alias("chars_dup"),
+    )
+
+    bigrams = base.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_words") - 1, F.lit(1))
+                ),
+                # F.get is 0-based and NULL out-of-bounds (ANSI-safe;
+                # element_at would raise under Spark 4's ANSI default).
+                # concat_ws skips NULLs, so the <2-word sentinel slot
+                # becomes a space-less token the .where below drops.
+                lambda i: F.concat_ws(
+                    " ", F.get("_words", i - 1), F.get("_words", i)
+                ),
+            )
+        ).alias("bg"),
+    ).where(F.col("bg").contains(" "))  # drop the <2-word sentinel slot
+    bg_stats = (
+        bigrams.groupBy("_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
+    )
+
+    out = (
+        base.select("_id")
+        .join(line_stats, "_id")
+        .join(bg_stats, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            round6(
+                1.0 - F.col("n_distinct") / F.col("n_lines")
+            ).alias("dup_line_frac"),
+            round6(
+                F.col("chars_dup") / F.greatest(F.col("chars_total"), F.lit(1))
+            ).alias("dup_line_char_frac"),
+            round6(
+                F.coalesce(F.col("top_c") / F.col("n_bg"), F.lit(0.0))
+            ).alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("dup_line_frac") > 0.30) | (F.col("top_bigram_frac") > 0.18),
+        )
+    )
+    return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_width: int = 5,
+    max_df: int = 100,
+    use_newlines: bool = False,
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet shape, Wenzek et al. 2020):
+    drop every line whose hash appears in more than ``max_df`` documents —
+    navigation chrome, cookie banners, boilerplate footers — and reassemble
+    each document from its surviving lines in order.
+
+    Emits (id, clean_text, n_kept, n_dropped).
+
+    Scale shape: posexplode -> hash-groupBy per line hash (map-side
+    partials; the line-frequency table is tiny relative to the corpus) ->
+    equi-join back on the 64-bit line hash -> per-doc ordered reassembly
+    via sort_array(collect_list(struct(pos, line))). The only wide state is
+    per-document (bounded by doc length), never per-corpus. At CC scale the
+    frequency table is Zipf-headed: the join key distribution is exactly
+    the corpus's boilerplate skew, so the high-df lines being DROPPED are
+    also the hot join keys being filtered BEFORE the join-back (the
+    frequency side is reduced to df <= max_df rows first).
+    """
+    t = F.col(text_col)
+    lines_arr = split_lines(t) if use_newlines else chunk_lines(t, line_width)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(lines_arr).alias("pos", "line"),
+    ).withColumn(
+        "lh",
+        F.conv(F.substring(F.md5(F.col("line")), 1, 12), 16, 10).cast("long"),
+    )
+    freq = exploded.groupBy("lh").agg(
+        F.count_distinct("_id").alias("line_df")
+    )
+    kept = exploded.join(
+        freq.where(F.col("line_df") <= max_df).select("lh"), "lh"
+    )
+    rebuilt = (
+        kept.groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = exploded.groupBy("_id").agg(F.count("*").alias("n_total"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )

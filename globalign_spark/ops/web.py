@@ -1,0 +1,106 @@
+"""Web-corpus URL operators: canonicalization + URL-level dedup.
+
+A Common-Crawl-style corpus carries the same page under many url spellings
+(scheme/host case, default ports, `www.` prefixes, tracking query params,
+trailing slashes, fragments). Canonicalizing urls BEFORE any text-level
+dedup removes the cheapest duplicate class at zero kernel cost — a
+hash-groupBy on the canonical string, the same scale shape as exact text
+dedup (`ops/dedup.dedup_exact`).
+
+Everything is built-in regexp/string expressions (whole-stage codegen, no
+Python). Each transformation step is small and ordered so the DuckDB SQL
+twin in ``__spark_entry__`` can reproduce it exactly; patterns use only
+portable regex constructs (char classes, anchors, alternation — no
+lookaround), and the SQL twin passes the ``'g'`` flag where Spark's
+``regexp_replace`` is implicitly global.
+
+Canonicalization steps, in order (each one motivated by a real CC
+duplicate class):
+  1. drop the ``#fragment`` (never sent to the server);
+  2. lowercase the ``scheme://authority`` prefix (case-insensitive per
+     RFC 3986) — the path/query stay case-sensitive;
+  3. drop ``userinfo@`` from the authority;
+  4. drop default ports ``:80`` (http) / ``:443`` (https);
+  5. drop a leading ``www.``;
+  6. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``,
+     ``ref``), then repair the separator (``?&`` -> ``?``, trailing
+     ``?``/``&`` removed);
+  7. strip trailing slashes from the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tracking params dropped by step 6. Keep in sync with TRACKING_PARAM_RE.
+TRACKING_PARAMS = ["utm_[a-zA-Z0-9_]*", "fbclid", "gclid", "ref"]
+TRACKING_PARAM_RE = "[?&](" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a url (codegen-only; see module docstring)."""
+    # 1. fragment
+    u = F.regexp_replace(url, "#.*$", "")
+    # 2. lowercase scheme://authority, keep path/query case. The authority
+    # is everything up to the first /?# after the scheme separator.
+    prefix = F.regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.concat(F.lower(prefix), rest)
+    # 3. userinfo
+    u = F.regexp_replace(u, "^([a-z][a-z0-9+.-]*://)[^/?#@]*@", "$1")
+    # 4. default ports (capture the following delimiter instead of a
+    # lookahead — RE2 in the DuckDB twin has no lookaround)
+    u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#]|$)", "$1$2")
+    u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    # 5. leading www.
+    u = F.regexp_replace(u, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    # 6. tracking params (global replace), then separator repair: if the
+    # stripped url's first remaining separator is '&' (the '?' was consumed
+    # with the first param), promote it back to '?'. The lazy `[^?]*?`
+    # anchors on the FIRST '&' with no '?' before it (no lookaround — RE2
+    # in the DuckDB twin).
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, "^([^?]*?)&", "$1?")
+    u = F.regexp_replace(u, "[?&]$", "")
+    # 7. trailing slashes on the path (not the bare authority)
+    u = F.regexp_replace(u, "(://[^/?#]*/[^?#]*?)/+(\\?|$)", "$1$2")
+    u = F.regexp_replace(u, "/+$", "")
+    return u
+
+
+def canonical_host(url: Column) -> Column:
+    """Host of the CANONICAL url: lowercase, no userinfo/port/www."""
+    c = canonical_url(url)
+    return F.regexp_replace(
+        F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        ":[0-9]+$",
+        "",
+    )
+
+
+def add_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn(
+        "canonical_url", canonical_url(F.col(url_col))
+    ).withColumn("canonical_host", canonical_host(F.col(url_col)))
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """One row per canonical url: keep the smallest id (crawl-stable
+    representative), count the spellings collapsed into it.
+
+    Scale shape: a single hash-groupBy on the canonical string with
+    map-side partial aggregation — no join, no explode; identical to
+    exact-text dedup and safe at any corpus size.
+    """
+    return (
+        add_canonical_url(df, url_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count("*").alias("n_urls"),
+            F.min("canonical_host").alias("canonical_host"),
+        )
+    )

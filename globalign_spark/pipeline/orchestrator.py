@@ -207,7 +207,9 @@ def run_pipeline(
     norm = ck.write(
         "s0_normalized",
         normalize.normalize_pages(pages, text_from_html=cfg.text_from_html)
-        .select("url", "host", "norm_text", "lang", "warc_ts"),
+        .select(
+            "url", "canonical_url", "host", "norm_text", "lang", "warc_ts"
+        ),
     )
 
     rep_map = None

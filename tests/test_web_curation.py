@@ -1,0 +1,161 @@
+"""Unit tests for the web-curation ops: URL canonicalization/dedup,
+Gopher-style repetition signals, CCNet-style corpus line dedup."""
+
+from pyspark.sql import functions as F
+
+from globalign_spark.ops import text as text_ops
+from globalign_spark.ops import web
+
+
+def test_canonical_url_collapses_cc_duplicate_classes(spark):
+    cases = [
+        # (input, expected canonical)
+        ("HTTPS://WWW.Example.COM:443/Path/To/page/?utm_source=x&id=5#frag",
+         "https://example.com/Path/To/page?id=5"),
+        ("https://example.com/Path/To/page?id=5",
+         "https://example.com/Path/To/page?id=5"),
+        ("http://user:pw@Example.com:80/a//", "http://example.com/a"),
+        ("http://example.com/a", "http://example.com/a"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?utm_campaign=z", "https://example.com"),
+        # mid-query tracking param: separator chain must survive
+        ("https://example.com/p?a=1&utm_x=2&b=3",
+         "https://example.com/p?a=1&b=3"),
+        # non-default port and path case are preserved
+        ("https://sub.example.com:8080/P/", "https://sub.example.com:8080/P"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
+    )
+    got = {
+        r.doc_id: r.canonical_url
+        for r in web.add_canonical_url(df).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+
+def test_url_dedup_keeps_min_id_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (7, "https://a.com/x?utm_source=f"),
+            (3, "HTTPS://WWW.A.com/x"),
+            (9, "https://a.com/x/"),
+            (5, "https://b.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r.canonical_url: r for r in web.url_dedup(df).collect()}
+    assert out["https://a.com/x"].keep_id == 3
+    assert out["https://a.com/x"].n_urls == 3
+    assert out["https://b.com/y"].n_urls == 1
+    assert out["https://a.com/x"].canonical_host == "a.com"
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e a b c d e a b c d e"),  # one 5-token line x3
+            (2, "p q p q p q p q p q p q"),        # bigram soup, distinct lines
+            (3, ""),                                # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.add_repetition_features(df, line_width=5).collect()
+    }
+    r1 = out[1]
+    assert r1.n_lines == 3
+    assert abs(r1.dup_line_frac - (1 - 1 / 3)) < 1e-6
+    assert r1.dup_line_char_frac == 1.0  # every line char is in a dup line
+    assert r1.repetitive
+    r2 = out[2]
+    # 11 bigram slots; 'p q' fills 6 of them
+    assert abs(r2.top_bigram_frac - 6 / 11) < 1e-6
+    assert r2.dup_line_frac == 0.0
+    r3 = out[3]
+    assert r3.n_lines == 1 and r3.top_bigram_frac == 0.0 and not r3.repetitive
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    # 'cookie banner' line appears in 3 docs -> dropped at max_df=2;
+    # unique content lines survive in original order.
+    rows = [
+        (1, "cookie banner text here unique alpha one two"),
+        (2, "cookie banner text here unique beta three four"),
+        (3, "cookie banner text here unique gamma five six"),
+        (4, "totally unrelated content stands alone fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in text_ops.line_dedup(
+            df, line_width=4, max_df=2
+        ).collect()
+    }
+    # each doc = two 4-token lines; line 1 ('cookie banner text here') has
+    # df=3 > 2 -> dropped from docs 1-3
+    for d in (1, 2, 3):
+        assert out[d].n_dropped == 1 and out[d].n_kept == 1
+    assert out[1].clean_text == "unique alpha one two"
+    assert out[4].n_dropped == 0
+    assert out[4].clean_text == rows[3][1]
+
+
+def test_line_dedup_within_doc_repeat_is_not_corpus_boilerplate(spark):
+    # a line repeated inside ONE doc has document-frequency 1 and survives
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.line_dedup(df, line_width=2, max_df=1).collect()
+    }
+    assert out[1].n_dropped == 0 and out[1].clean_text == "x y x y x y"
+
+
+def test_normalize_pages_dedups_recrawls_per_canonical_url(spark):
+    from datetime import datetime
+
+    from globalign_spark.pipeline.normalize import normalize_pages
+
+    rows = [
+        # same page, three spellings / captures: newest capture must win
+        ("https://a.com/x", datetime(2026, 1, 1), b"", "old text", "en"),
+        ("HTTPS://WWW.A.com/x", datetime(2026, 3, 1), b"", "new text", "en"),
+        ("https://a.com/x?utm_source=f", datetime(2026, 2, 1), b"", "mid text", "en"),
+        # different page on the same host
+        ("https://a.com/y", datetime(2026, 1, 1), b"", "other page", "en"),
+        # empty text is filtered before dedup
+        ("https://a.com/z", datetime(2026, 1, 1), b"", "", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = normalize_pages(pages).collect()
+    by_curl = {r.canonical_url: r for r in out}
+    assert len(out) == 2
+    assert by_curl["https://a.com/x"].text == "new text"
+    # survivor keeps its raw spelling; host is canonical (www stripped)
+    assert by_curl["https://a.com/x"].url == "HTTPS://WWW.A.com/x"
+    assert by_curl["https://a.com/x"].host == "a.com"
+    assert by_curl["https://a.com/y"].text == "other page"
+
+
+def test_normalize_pages_tie_break_is_deterministic(spark):
+    from datetime import datetime
+
+    from globalign_spark.pipeline.normalize import normalize_pages
+
+    ts = datetime(2026, 1, 1)
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/x#one", ts, b"", "t1", "en"),
+            ("https://a.com/x#two", ts, b"", "t2", "en"),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = normalize_pages(pages).collect()
+    assert len(out) == 1
+    assert out[0].url == "https://a.com/x#two"  # desc raw-url tie-break
