@@ -402,7 +402,26 @@ def line_dedup(
             F.count("*").alias("n_kept"),
         )
     )
-    totals = exploded.groupBy("_id").agg(F.count("*").alias("n_total"))
+    # Per-doc line totals as a COLUMN EXPRESSION on the source rows — the
+    # line count is a function of the text alone, so paying a third
+    # traversal of the exploded frame (explode + hash + shuffle) for it is
+    # pure waste. Docs with zero lines (possible only on the newline path)
+    # are absent from the exploded frame and stay absent here, preserving
+    # the output row-set exactly.
+    n_total_col = (
+        F.size(split_lines(t))
+        if use_newlines
+        else F.greatest(
+            F.ceil(F.size(ws_tokens(t)) / F.lit(line_width)).cast("int"),
+            F.lit(1),
+        )
+    )
+    totals = (
+        df.select(
+            F.col(id_col).alias("_id"), n_total_col.alias("n_total")
+        )
+        .where(F.col("n_total") > 0)
+    )
     return (
         totals.join(rebuilt, "_id", "left")
         .select(
