@@ -1859,7 +1859,7 @@ bg_stats as (
   group by doc_id
 ),
 rounded as (
-  select b.doc_id,
+  select ls.doc_id,
          ls.n_lines::BIGINT as n_lines,
          floor((1.0 - ls.n_distinct::DOUBLE / ls.n_lines) * 1e6 + 0.5)/1e6
            as dup_line_frac,
@@ -1867,8 +1867,7 @@ rounded as (
            as dup_line_char_frac,
          floor(coalesce(bs.top_c::DOUBLE / bs.n_bg, 0.0) * 1e6 + 0.5)/1e6
            as top_bigram_frac
-  from base b
-  join line_stats ls using (doc_id)
+  from line_stats ls
   left join bg_stats bs using (doc_id)
 )
 select doc_id, n_lines, dup_line_frac, dup_line_char_frac, top_bigram_frac,

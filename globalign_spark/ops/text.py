@@ -322,10 +322,11 @@ def add_repetition_features(
         .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_bg"))
     )
 
+    # line_stats covers every doc (chunk_lines emits >= 1 line even for
+    # empty text; split_lines docs with no lines have no line stats and are
+    # deliberately absent) — no need to re-join the base for the id set.
     out = (
-        base.select("_id")
-        .join(line_stats, "_id")
-        .join(bg_stats, "_id", "left")
+        line_stats.join(bg_stats, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             F.col("n_lines").cast("long").alias("n_lines"),
