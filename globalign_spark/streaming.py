@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from .ops.web import canonical_url
 from .pipeline.extract import extract_text, host_of
 
 PAGES_STREAM_SCHEMA = StructType(
@@ -48,12 +49,18 @@ def stream_pages(
 
 
 def stream_normalize(pages: DataFrame, text_from_html: bool = False) -> DataFrame:
+    """Stage-0 projection for streams. Url identity matches the batch path
+    (ops/web.canonical_url — per-row expressions, streaming-safe); recrawl
+    LATEST-WINS dedup is not expressible over an unbounded stream, so
+    streams dedup FIRST-SEEN per (host, text_md5) via the stateful op
+    below instead."""
     df = pages
     if text_from_html:
         df = df.withColumn("text", extract_text(F.col("html")))
     return (
         df.where(F.col("text").isNotNull() & (F.length("text") > 0))
-        .withColumn("host", host_of(F.col("url")))
+        .withColumn("canonical_url", canonical_url(F.col("url")))
+        .withColumn("host", host_of(F.col("canonical_url")))
         .withColumn("norm_text", F.upper(F.translate(F.col("text"), "-", " ")))
     )
 

@@ -159,3 +159,88 @@ def test_normalize_pages_tie_break_is_deterministic(spark):
     out = normalize_pages(pages).collect()
     assert len(out) == 1
     assert out[0].url == "https://a.com/x#two"  # desc raw-url tie-break
+
+
+# ---------------------------------------------------------------- fuzz
+# Structural property fuzz for the canonicalizer: build urls FROM KNOWN
+# COMPONENTS (so the expected canonical form is computed from the
+# components directly, never by parsing), decorate them with every
+# duplicate class the regexp chain claims to remove, and require exact
+# agreement. This is an independent oracle for the regex chain — the
+# expected value is assembled structurally, not derived from the same
+# patterns.
+
+import random as _random
+
+
+def _expected_canonical(scheme, www, host, port, segs, trail, params, frag):
+    s = scheme.lower()
+    h = host.lower()
+    default = {"http": "80", "https": "443"}[s]
+    netloc = h if (port is None or port == default) else f"{h}:{port}"
+    path = "".join("/" + seg for seg in segs)
+    keep = [(k, v) for k, v in params if not (
+        k.startswith("utm_") or k in ("fbclid", "gclid", "ref"))]
+    query = "&".join(f"{k}={v}" for k, v in keep)
+    if segs:
+        pass  # trailing slashes stripped entirely
+    elif query:
+        path = "/" if trail else ""
+        # root slash survives only when directly followed by the query
+    if not query and not segs:
+        path = ""
+    return f"{s}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+def _spell(scheme, www, host, port, segs, trail, params, frag, rng):
+    case = lambda x: "".join(
+        c.upper() if rng.random() < 0.5 else c for c in x)
+    u = case(scheme) + "://"
+    if rng.random() < 0.3:
+        u += "user:pw@" if rng.random() < 0.5 else "bob@"
+    if www:
+        u += case("www.")
+    u += case(host)
+    if port is not None:
+        u += f":{port}"
+    u += "".join("/" + seg for seg in segs)
+    if trail:
+        u += "/" * rng.randint(1, 3)
+    if params:
+        u += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag:
+        u += "#sec-2"
+    return u
+
+
+def test_canonical_url_structural_fuzz(spark):
+    rng = _random.Random(20260821)
+    word = lambda: "".join(
+        rng.choice("abcdefgh123") for _ in range(rng.randint(1, 6)))
+    rows = []
+    for i in range(400):
+        scheme = rng.choice(["http", "https"])
+        www = rng.random() < 0.4
+        host = word() + "." + rng.choice(["com", "org", "io"])
+        port = rng.choice([None, None, "80", "443", "8080"])
+        segs = [word() for _ in range(rng.randint(0, 3))]
+        n_par = rng.randint(0, 3)
+        params = []
+        for _ in range(n_par):
+            if rng.random() < 0.4:
+                params.append((rng.choice(
+                    ["utm_source", "utm_x", "fbclid", "gclid", "ref"]),
+                    word()))
+            else:
+                params.append((rng.choice(["id", "q", "pageno"]), word()))
+        trail = rng.random() < 0.4
+        frag = rng.random() < 0.3
+        comp = (scheme, www, host, port, segs, trail, params, frag)
+        rows.append((i, _spell(*comp, rng), _expected_canonical(*comp)))
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "doc_id long, url string")
+    got = {r.doc_id: r.canonical_url
+           for r in web.add_canonical_url(df).collect()}
+    bad = [(rows[i][1], got[i], rows[i][2])
+           for i in range(len(rows)) if got[i] != rows[i][2]]
+    assert not bad, bad[:5]
