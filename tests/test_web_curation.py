@@ -244,3 +244,35 @@ def test_canonical_url_structural_fuzz(spark):
     bad = [(rows[i][1], got[i], rows[i][2])
            for i in range(len(rows)) if got[i] != rows[i][2]]
     assert not bad, bad[:5]
+
+
+def test_newline_path_repetition_and_line_dedup(spark):
+    # real-page shape: newline-delimited lines, empties removed
+    df = spark.createDataFrame(
+        [
+            (1, "nav home about\ncontent alpha\nnav home about\n\ncontent beta"),
+            (2, "nav home about\nunique gamma text"),
+            (3, "nav home about\nother page body"),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r.doc_id: r
+        for r in text_ops.add_repetition_features(
+            df, use_newlines=True
+        ).collect()
+    }
+    assert rep[1].n_lines == 4  # empty line dropped
+    assert abs(rep[1].dup_line_frac - (1 - 3 / 4)) < 1e-6
+
+    out = {
+        r.doc_id: r
+        for r in text_ops.line_dedup(
+            df, max_df=2, use_newlines=True
+        ).collect()
+    }
+    # 'nav home about' appears in all 3 docs -> dropped (df=3 > 2);
+    # doc 1 drops BOTH its copies
+    assert out[1].n_dropped == 2
+    assert out[1].clean_text == "content alpha content beta"
+    assert out[2].clean_text == "unique gamma text"
