@@ -2004,6 +2004,52 @@ from canon group by u
 """
 
 
+DUP_SPAN_K = 20
+DUP_SPAN_MAX_DF = 1
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # over the augmented corpus: the prefix-truncation variants share long
+    # suffixes with their base docs, giving real duplicate-span structure
+    return text_ops.duplicate_span_stats(
+        _docs_aug(spark, sf_dir), k=DUP_SPAN_K, max_df=DUP_SPAN_MAX_DF
+    )
+
+
+SQL_DUP_SPANS = f"""
+with docs as (select doc_id, text from {DOCS_AUG_SQL}),
+grams as (
+  select doc_id, length(text) as len,
+         unnest(range(1, greatest(length(text)-{DUP_SPAN_K - 1},1)+1)) as i,
+         unnest([('0x'||substr(md5(substr(text, j, {DUP_SPAN_K})),1,12))::BIGINT
+                 for j in range(1, greatest(length(text)-{DUP_SPAN_K - 1},1)+1)])
+           as h
+  from docs
+),
+hot as (
+  select h from grams group by h
+  having count(distinct doc_id) > {DUP_SPAN_MAX_DF}
+),
+contrib as (
+  select doc_id,
+         greatest(least(i-1+{DUP_SPAN_K}, len)
+                  - greatest(i-1,
+                      coalesce(max(least(i-1+{DUP_SPAN_K}, len)) over (
+                        partition by doc_id order by i
+                        rows between unbounded preceding and 1 preceding), 0)),
+                  0) as c
+  from grams join hot using (h)
+),
+dup as (select doc_id, sum(c) as dup_chars from contrib group by doc_id),
+totals as (select doc_id, length(text) as n_chars from docs)
+select t.doc_id, t.n_chars::BIGINT as n_chars,
+       coalesce(d.dup_chars, 0)::BIGINT as dup_chars,
+       floor(coalesce(d.dup_chars, 0)::DOUBLE
+             / greatest(t.n_chars, 1) * 1e6 + 0.5)/1e6 as dup_frac
+from totals t left join dup d using (doc_id)
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -2034,6 +2080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": q_repetition,
         "line_dedup": q_line_dedup,
         "url_dedup": q_url_dedup,
+        "dup_spans": q_dup_spans,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -2078,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition": SQL_REPETITION,
         "line_dedup": SQL_LINE_DEDUP,
         "url_dedup": SQL_URL_DEDUP,
+        "dup_spans": SQL_DUP_SPANS,
         "corpus_curation": SQL_CORPUS_CURATION,
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,

@@ -434,3 +434,78 @@ def line_dedup(
             .alias("n_dropped"),
         )
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    max_df: int = 1,
+) -> DataFrame:
+    """Cross-document duplicate-span statistics (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" measurement,
+    k-gram-approximated): how many of a document's characters sit inside a
+    k-char substring that also appears in more than ``max_df`` documents.
+
+    Emits (id, n_chars, dup_chars, dup_frac) — the per-doc mass of
+    boilerplate/template/copied text. Exact-substring span REMOVAL at the
+    reference's suffix-array granularity reduces to the same marked-span
+    set; this op reports the mass (the curation-policy input) rather than
+    rewriting text.
+
+    Shape: posexplode k-gram hashes (pure codegen, one md5 per gram) ->
+    document-frequency table on the 64-bit hash (map-side partials; the
+    Zipf-headed hot grams each collapse to one row per input partition) ->
+    join positions against the >max_df hashes only -> per-doc interval
+    merge via a running-max window over gram end offsets (sorted by
+    position, O(doc grams) state). No self-join anywhere; the biggest
+    shuffle key is a gram hash with its df, never a pair.
+    """
+    t = F.col(text_col)
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.length(t).alias("_len"),
+        F.posexplode(kgram_hashes(t, k)).alias("pos", "h"),
+    )
+    hot = (
+        grams.groupBy("h")
+        .agg(F.count_distinct("_id").alias("gdf"))
+        .where(F.col("gdf") > max_df)
+        .select("h")
+    )
+    end = F.least(F.col("pos") + k, F.col("_len"))
+    w = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        grams.join(hot, "h")
+        .withColumn(
+            "_contrib",
+            F.greatest(
+                end
+                - F.greatest(
+                    F.col("pos"), F.coalesce(F.max(end).over(w), F.lit(0))
+                ),
+                F.lit(0),
+            ),
+        )
+        .groupBy("_id")
+        .agg(F.sum("_contrib").alias("dup_chars"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("_id"), F.length(t).alias("n_chars")
+    )
+    return totals.join(marked, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.coalesce(F.col("dup_chars"), F.lit(0)).cast("long").alias(
+            "dup_chars"
+        ),
+        round6(
+            F.coalesce(F.col("dup_chars"), F.lit(0))
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("dup_frac"),
+    )

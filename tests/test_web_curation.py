@@ -276,3 +276,43 @@ def test_newline_path_repetition_and_line_dedup(spark):
     assert out[1].n_dropped == 2
     assert out[1].clean_text == "content alpha content beta"
     assert out[2].clean_text == "unique gamma text"
+
+
+def test_duplicate_span_stats_known_values(spark):
+    shared = "0123456789abcdefghijklmnopqrs"  # 29 chars, appears in docs 1+2
+    df = spark.createDataFrame(
+        [
+            (1, "XXAAA" + shared + "BBBYY"),
+            (2, "QQQZZ" + shared + "WWWPP"),
+            (3, "totally unrelated text with no twenty-char overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.duplicate_span_stats(df, k=20, max_df=1).collect()
+    }
+    # only the k-grams fully inside the shared 29-char run collide:
+    # 29-20+1 = 10 gram starts, merged span = 29 chars
+    assert out[1].dup_chars == 29 and out[2].dup_chars == 29
+    assert out[3].dup_chars == 0 and out[3].dup_frac == 0.0
+    assert abs(out[1].dup_frac - 29 / len("XXAAA" + shared + "BBBYY")) < 1e-5
+
+
+def test_duplicate_span_stats_merges_overlaps_within_doc(spark):
+    # one doc repeats the OTHER doc's substring twice, separated by filler:
+    # two disjoint merged spans, not double-counted gram mass
+    shared = "abcdefghijklmnopqrstuvwx"  # 24 chars
+    df = spark.createDataFrame(
+        [
+            (1, shared + "-----" + shared),
+            (2, "zz" + shared + "zzzzzzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in text_ops.duplicate_span_stats(df, k=20, max_df=1).collect()
+    }
+    assert out[1].dup_chars == 48  # 2 x 24, intervals merged per occurrence
+    assert out[2].dup_chars == 24
