@@ -36,6 +36,10 @@ def curate_corpus(
     bucket_cap: int = 500,
     band_perm: int | None = None,
     screen_min_eq: int | None = None,
+    dup_line_frac_max: float | None = None,
+    top_bigram_frac_max: float | None = None,
+    rep_line_width: int = 5,
+    rep_use_newlines: bool = False,
 ) -> DataFrame:
     """Curated corpus: rows of ``df`` that survive all four gates.
 
@@ -50,6 +54,22 @@ def curate_corpus(
     collision (including the background collisions that go quadratic on
     boilerplate-dense corpora) counts as a near-dup and over-drops.
     """
+    # Optional repetition gate (Gopher shape) BEFORE the hash stages: a doc
+    # dominated by repeated lines or one bigram is boilerplate/spam, and
+    # dropping it here also starves the LSH stage of the boilerplate
+    # buckets that go quadratic. Off by default (the oracle-twinned
+    # corpus_curation query pins the 4-stage policy).
+    if dup_line_frac_max is not None or top_bigram_frac_max is not None:
+        rep = text_ops.add_repetition_features(
+            df, text_col=text_col, id_col=id_col,
+            line_width=rep_line_width, use_newlines=rep_use_newlines,
+        ).select(id_col, "dup_line_frac", "top_bigram_frac")
+        cond = F.lit(True)
+        if dup_line_frac_max is not None:
+            cond &= F.col("dup_line_frac") <= dup_line_frac_max
+        if top_bigram_frac_max is not None:
+            cond &= F.col("top_bigram_frac") <= top_bigram_frac_max
+        df = df.join(rep.where(cond).select(id_col), id_col, "left_semi")
     d = text_ops.add_quality_score(text_ops.add_lang_id(df, text_col), text_col)
     filt = d.where(
         (F.col("quality_score") >= quality_min)

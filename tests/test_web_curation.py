@@ -316,3 +316,27 @@ def test_duplicate_span_stats_merges_overlaps_within_doc(spark):
     }
     assert out[1].dup_chars == 48  # 2 x 24, intervals merged per occurrence
     assert out[2].dup_chars == 24
+
+
+def test_curate_corpus_repetition_gate(spark):
+    from globalign_spark.ops import curation
+
+    # spam carries an 'en' marker ('the') so lang-id keeps it; its 5-token
+    # pseudo-lines cycle with period 3, so dup_line_frac = 1 - 3/8 > 0.3
+    spam = ("buy the now " * 13).strip()
+    good = ("the quick brown fox jumps over the lazy dog and runs to the "
+            "market with a basket of fresh bread and ripe fruit for all")
+    other = ("a completely different second page about gardens with the "
+             "usual words and plenty of varied content for quality checks")
+    df = spark.createDataFrame(
+        [(1, good), (2, spam), (3, other)],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id for r in curation.curate_corpus(
+        df, quality_min=0.0, tokens_min=1, num_bands=1).collect()}
+    gated = {r.doc_id for r in curation.curate_corpus(
+        df, quality_min=0.0, tokens_min=1, num_bands=1,
+        dup_line_frac_max=0.3, top_bigram_frac_max=0.5).collect()}
+    assert 2 in base          # repetition gate off: spam survives curation
+    assert 2 not in gated     # gate on: spam dropped
+    assert 1 in gated and 3 in gated
