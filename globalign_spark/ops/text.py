@@ -365,13 +365,22 @@ def line_dedup(
 
     Scale shape: posexplode -> hash-groupBy per line hash (map-side
     partials; the line-frequency table is tiny relative to the corpus) ->
-    equi-join back on the 64-bit line hash -> per-doc ordered reassembly
+    equi-join back on the 48-bit line hash -> per-doc ordered reassembly
     via sort_array(collect_list(struct(pos, line))). The only wide state is
     per-document (bounded by doc length), never per-corpus. At CC scale the
     frequency table is Zipf-headed: the join key distribution is exactly
     the corpus's boilerplate skew, so the high-df lines being DROPPED are
     also the hot join keys being filtered BEFORE the join-back (the
     frequency side is reduced to df <= max_df rows first).
+
+    Hash width: 48 bits (md5 prefix — the widest integer DuckDB's oracle
+    decodes exactly, matching ``kgram_hashes``). A collision between two
+    distinct lines merges their document frequencies, so a rare line
+    sharing a hash with boilerplate can be over-dropped: expected
+    collisions ~ n^2/2^49 — negligible below ~10^9 distinct lines; above
+    that, widen to xxhash64 (and lose the SQL twin) or accept the
+    CCNet-style tolerance (dedup is a lossy filter by design, and a df
+    merge only errs toward dropping).
     """
     t = F.col(text_col)
     lines_arr = split_lines(t) if use_newlines else chunk_lines(t, line_width)
