@@ -46,6 +46,10 @@ HEADLINE = [
     "lang_id",
     "quality",
     "token_counts",
+    "repetition",
+    "line_dedup",
+    "url_dedup",
+    "dup_spans",
     "corpus_curation",
     "er_incremental",
     "ann_topk",
