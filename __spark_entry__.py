@@ -1986,14 +1986,15 @@ u3 as (select doc_id,
 u4 as (select doc_id,
          regexp_replace(u, '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') as u from u3),
 u5 as (select doc_id,
-         regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.', '\1') as u from u4),
+         regexp_replace(u, '^([a-z][a-z0-9+.-]*://)www\.([^/?#.]+\.)', '\1\2') as u from u4),
 u6 as (select doc_id,
-         regexp_replace(u, '[?&](utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g') as u from u5),
-u7 as (select doc_id, regexp_replace(u, '^([^?]*?)&', '\1?') as u from u6),
-u8 as (select doc_id, regexp_replace(u, '[?&]$', '') as u from u7),
-u9 as (select doc_id,
-         regexp_replace(u, '(://[^/?#]*/[^?#]*?)/+(\?|$)', '\1\2') as u from u8),
-canon as (select doc_id, regexp_replace(u, '/+$', '') as u from u9)
+         regexp_extract(u, '^([^?]*)', 1) as b,
+         regexp_replace(u, '^[^?]*', '') as q from u5),
+u7 as (select doc_id, b,
+         regexp_replace(q, '[?&](utm_[a-zA-Z0-9_]*|fbclid|gclid|ref)=[^&#]*', '', 'g') as q from u6),
+u8 as (select doc_id, b, regexp_replace(q, '^&', '?') as q from u7),
+u9 as (select doc_id, b, regexp_replace(q, '[?&]$', '') as q from u8),
+canon as (select doc_id, regexp_replace(b, '/+$', '') || q as u from u9)
 select u as canonical_url,
        min(doc_id) as keep_id,
        count(*) as n_urls,

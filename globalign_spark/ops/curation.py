@@ -64,12 +64,16 @@ def curate_corpus(
             df, text_col=text_col, id_col=id_col,
             line_width=rep_line_width, use_newlines=rep_use_newlines,
         ).select(id_col, "dup_line_frac", "top_bigram_frac")
-        cond = F.lit(True)
+        # anti-join on the FAILING set: a doc the repetition pass cannot
+        # measure (no lines on the newline path) must be KEPT — the
+        # contract is "drop iff a fraction exceeds its max", not "drop if
+        # unmeasurable".
+        fail = F.lit(False)
         if dup_line_frac_max is not None:
-            cond &= F.col("dup_line_frac") <= dup_line_frac_max
+            fail |= F.col("dup_line_frac") > dup_line_frac_max
         if top_bigram_frac_max is not None:
-            cond &= F.col("top_bigram_frac") <= top_bigram_frac_max
-        df = df.join(rep.where(cond).select(id_col), id_col, "left_semi")
+            fail |= F.col("top_bigram_frac") > top_bigram_frac_max
+        df = df.join(rep.where(fail).select(id_col), id_col, "left_anti")
     d = text_ops.add_quality_score(text_ops.add_lang_id(df, text_col), text_col)
     filt = d.where(
         (F.col("quality_score") >= quality_min)

@@ -397,6 +397,11 @@ def line_dedup(
     kept = exploded.join(
         freq.where(F.col("line_df") <= max_df).select("lh"), "lh"
     )
+    # newline documents are rejoined with newlines so the cleaned text
+    # keeps its line structure (a later repetition/line pass must still
+    # see lines); chunked pseudo-lines rejoin with the space they were
+    # split on.
+    sep = "\n" if use_newlines else " "
     rebuilt = (
         kept.groupBy("_id")
         .agg(
@@ -407,7 +412,7 @@ def line_dedup(
                     ),
                     lambda s: s["line"],
                 ),
-                " ",
+                sep,
             ).alias("clean_text"),
             F.count("*").alias("n_kept"),
         )

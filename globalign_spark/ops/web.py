@@ -39,7 +39,16 @@ TRACKING_PARAM_RE = "[?&](" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
 
 
 def canonical_url(url: Column) -> Column:
-    """Canonical form of a url (codegen-only; see module docstring)."""
+    """Canonical form of a url (codegen-only; see module docstring).
+
+    Query-side operations (tracking-param removal, separator repair) run
+    on the SPLIT-OFF query component only: an un-anchored pattern over the
+    whole url would also rewrite a legal ``&`` in the path (RFC 3986
+    allows it — ``/wiki/AT&T``) or strip slashes inside a query value
+    (``?next=/docs/``), conflating distinct pages. Likewise the ``www.``
+    strip requires another dotted label after it so the registrable host
+    ``www.com`` is not rewritten to ``com``.
+    """
     # 1. fragment
     u = F.regexp_replace(url, "#.*$", "")
     # 2. lowercase scheme://authority, keep path/query case. The authority
@@ -53,36 +62,46 @@ def canonical_url(url: Column) -> Column:
     # lookahead — RE2 in the DuckDB twin has no lookaround)
     u = F.regexp_replace(u, "^(http://[^/?#:]*):80([/?#]|$)", "$1$2")
     u = F.regexp_replace(u, "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
-    # 5. leading www.
-    u = F.regexp_replace(u, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
-    # 6. tracking params (global replace), then separator repair: if the
-    # stripped url's first remaining separator is '&' (the '?' was consumed
-    # with the first param), promote it back to '?'. The lazy `[^?]*?`
-    # anchors on the FIRST '&' with no '?' before it (no lookaround — RE2
-    # in the DuckDB twin).
-    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
-    u = F.regexp_replace(u, "^([^?]*?)&", "$1?")
-    u = F.regexp_replace(u, "[?&]$", "")
-    # 7. trailing slashes on the path (not the bare authority)
-    u = F.regexp_replace(u, "(://[^/?#]*/[^?#]*?)/+(\\?|$)", "$1$2")
-    u = F.regexp_replace(u, "/+$", "")
-    return u
+    # 5. leading www. — only when another dotted label follows, so a
+    # registrable host like www.com keeps its name
+    u = F.regexp_replace(
+        u, "^([a-z][a-z0-9+.-]*://)www\\.([^/?#.]+\\.)", "$1$2"
+    )
+    # 6-7. split at the first '?': query-side ops touch only the query,
+    # path-side slash stripping only the base.
+    base = F.regexp_extract(u, "^([^?]*)", 1)
+    q = F.regexp_replace(u, "^[^?]*", "")
+    q = F.regexp_replace(q, TRACKING_PARAM_RE, "")
+    # first surviving param lost its '?' to a removed leading tracking
+    # param -> promote; a bare '?' / trailing '&' is dropped entirely
+    q = F.regexp_replace(q, "^&", "?")
+    q = F.regexp_replace(q, "[?&]$", "")
+    base = F.regexp_replace(base, "/+$", "")
+    return F.concat(base, q)
 
 
-def canonical_host(url: Column) -> Column:
-    """Host of the CANONICAL url: lowercase, no userinfo/port/www."""
-    c = canonical_url(url)
+def host_from_canonical(curl: Column) -> Column:
+    """Host of an ALREADY-canonical url (no re-canonicalization)."""
     return F.regexp_replace(
-        F.regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
+        F.regexp_extract(curl, "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1),
         ":[0-9]+$",
         "",
     )
 
 
+def canonical_host(url: Column) -> Column:
+    """Host of the CANONICAL url: lowercase, no userinfo/port/www."""
+    return host_from_canonical(canonical_url(url))
+
+
 def add_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    # canonical_host derives from the canonical_url COLUMN so the ~10-step
+    # regexp chain runs once per row, not twice
     return df.withColumn(
         "canonical_url", canonical_url(F.col(url_col))
-    ).withColumn("canonical_host", canonical_host(F.col(url_col)))
+    ).withColumn(
+        "canonical_host", host_from_canonical(F.col("canonical_url"))
+    )
 
 
 def url_dedup(

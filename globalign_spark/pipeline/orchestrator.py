@@ -127,6 +127,12 @@ class PipelineConfig:
             "rescue_bucket_cap": self.rescue_bucket_cap,
             "rescue_top_k": self.rescue_top_k,
             "params": repr(self.params),
+            # Bump whenever STAGE CODE changes output semantics with no
+            # config field to witness it (the config hash alone cannot see
+            # code changes, so an old warehouse would otherwise resume with
+            # mixed stage semantics and no error). v2: canonical-url
+            # recrawl-dedup identity + canonical host in s0 (round 3).
+            "stage_semantics_version": 2,
         }
         return hashlib.sha256(
             json.dumps(payload, sort_keys=True).encode()

@@ -23,6 +23,18 @@ def test_canonical_url_collapses_cc_duplicate_classes(spark):
          "https://example.com/p?a=1&b=3"),
         # non-default port and path case are preserved
         ("https://sub.example.com:8080/P/", "https://sub.example.com:8080/P"),
+        # review regressions: query-side rules must not touch the path...
+        ("https://en.wikipedia.org/wiki/AT&T",
+         "https://en.wikipedia.org/wiki/AT&T"),
+        ("https://a.com/download&ref=nav", "https://a.com/download&ref=nav"),
+        # ...nor the values of surviving query params
+        ("https://a.com/s?path=/docs/", "https://a.com/s?path=/docs/"),
+        ("https://a.com/p?next=https://b.com/x/",
+         "https://a.com/p?next=https://b.com/x/"),
+        # www IS the registrable host here: must not strip
+        ("https://www.com/x", "https://www.com/x"),
+        # root slash before a query normalizes away with the slash rule
+        ("https://h.com/?q=1", "https://h.com?q=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, (u, _) in enumerate(cases)], "doc_id long, url string"
@@ -182,13 +194,7 @@ def _expected_canonical(scheme, www, host, port, segs, trail, params, frag):
     keep = [(k, v) for k, v in params if not (
         k.startswith("utm_") or k in ("fbclid", "gclid", "ref"))]
     query = "&".join(f"{k}={v}" for k, v in keep)
-    if segs:
-        pass  # trailing slashes stripped entirely
-    elif query:
-        path = "/" if trail else ""
-        # root slash survives only when directly followed by the query
-    if not query and not segs:
-        path = ""
+    # trailing slashes (incl. a bare root slash) strip entirely
     return f"{s}://{netloc}{path}" + (f"?{query}" if query else "")
 
 
@@ -274,7 +280,7 @@ def test_newline_path_repetition_and_line_dedup(spark):
     # 'nav home about' appears in all 3 docs -> dropped (df=3 > 2);
     # doc 1 drops BOTH its copies
     assert out[1].n_dropped == 2
-    assert out[1].clean_text == "content alpha content beta"
+    assert out[1].clean_text == "content alpha\ncontent beta"
     assert out[2].clean_text == "unique gamma text"
 
 
