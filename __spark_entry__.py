@@ -2051,6 +2051,26 @@ from totals t left join dup d using (doc_id)
 """
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.corpus_token_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_STATS = """
+with t as (
+  select lang as grp,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) as n
+  from documents
+)
+select grp,
+       count(*)::BIGINT as n_docs,
+       sum(n)::BIGINT as total_tokens,
+       floor(avg(n) * 1e6 + 0.5)/1e6 as mean_tokens,
+       floor(quantile_cont(n, 0.5) * 1e6 + 0.5)/1e6 as p50_tokens,
+       floor(quantile_cont(n, 0.95) * 1e6 + 0.5)/1e6 as p95_tokens
+from t group by grp
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -2082,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "url_dedup": q_url_dedup,
         "dup_spans": q_dup_spans,
+        "corpus_stats": q_corpus_stats,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -2127,6 +2148,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "url_dedup": SQL_URL_DEDUP,
         "dup_spans": SQL_DUP_SPANS,
+        "corpus_stats": SQL_CORPUS_STATS,
         "corpus_curation": SQL_CORPUS_CURATION,
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,

@@ -50,6 +50,7 @@ HEADLINE = [
     "line_dedup",
     "url_dedup",
     "dup_spans",
+    "corpus_stats",
     "corpus_curation",
     "er_incremental",
     "ann_topk",

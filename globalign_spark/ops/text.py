@@ -523,3 +523,32 @@ def duplicate_span_stats(
             / F.greatest(F.col("n_chars"), F.lit(1))
         ).alias("dup_frac"),
     )
+
+
+def corpus_token_stats(
+    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-group corpus statistics: doc count, token mass, mean and EXACT
+    interpolated percentiles (p50/p95) of per-doc token counts — the
+    numbers a curation run reports per language/source before choosing
+    thresholds.
+
+    Exact ``percentile`` (not approx_percentile) so the DuckDB
+    ``quantile_cont`` twin verifies values; both engines use the R-7
+    linear-interpolation definition. At 10^12 rows exact percentiles cost
+    a per-group sort — fine for the handful of lang/source groups here;
+    for high-cardinality groupings switch to approx_percentile and drop
+    the oracle to rows-only.
+    """
+    n = F.size(ws_tokens(F.col(text_col)))
+    return (
+        df.select(F.col(group_col).alias("grp"), n.alias("n"))
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            round6(F.avg("n")).alias("mean_tokens"),
+            round6(F.percentile("n", F.lit(0.5))).alias("p50_tokens"),
+            round6(F.percentile("n", F.lit(0.95))).alias("p95_tokens"),
+        )
+    )

@@ -346,3 +346,22 @@ def test_curate_corpus_repetition_gate(spark):
     assert 2 in base          # repetition gate off: spam survives curation
     assert 2 not in gated     # gate on: spam dropped
     assert 1 in gated and 3 in gated
+
+
+def test_corpus_token_stats_exact_percentiles(spark):
+    # token counts per lang 'xx': [2, 4, 6, 8] -> p50 = 5.0 (interpolated),
+    # p95 = 2 + 0.95*3 intervals... R-7: rank = 0.95*(4-1) = 2.85 ->
+    # 6 + 0.85*(8-6) = 7.7
+    rows = [
+        (1, "a b", "xx"), (2, "a b c d", "xx"),
+        (3, "a b c d e f", "xx"), (4, "a b c d e f g h", "xx"),
+        (5, "a", "yy"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.grp: r for r in text_ops.corpus_token_stats(df).collect()}
+    xx = out["xx"]
+    assert xx.n_docs == 4 and xx.total_tokens == 20
+    assert xx.mean_tokens == 5.0
+    assert xx.p50_tokens == 5.0
+    assert abs(xx.p95_tokens - 7.7) < 1e-6
+    assert out["yy"].p50_tokens == 1.0
