@@ -2071,6 +2071,77 @@ from t group by grp
 """
 
 
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents decorated with deterministic PII-shaped spans (the
+    synthetic corpus has none) — same expression inlined in the SQL twin
+    so both engines scrub identical input."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit(" contact user"), s(d), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0,
+            F.concat(
+                F.lit(" server 10."), s(d % 256), F.lit(".0."), s(d % 250),
+                F.lit(" up"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0,
+            F.concat(
+                F.lit(" id 123-45-"), F.lpad(s(d % 10000), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+
+
+DOCS_WITH_PII_SQL = """
+  (select doc_id,
+     text
+     || case when doc_id % 7 = 0
+          then ' contact user' || doc_id::VARCHAR || '@example.com now'
+          else '' end
+     || case when doc_id % 11 = 0
+          then ' server 10.' || (doc_id % 256)::VARCHAR || '.0.'
+               || (doc_id % 250)::VARCHAR || ' up'
+          else '' end
+     || case when doc_id % 13 = 0
+          then ' id 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+          else '' end as text
+   from documents)
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_ops.redact_pii(_docs_with_pii(spark, sf_dir))
+
+
+def _sql_pii_chain() -> tuple[str, str]:
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT as n_{name}"
+        for name, pat, _ in text_ops.PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, token in text_ops.PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return counts, clean
+
+
+_PII_COUNTS_SQL, _PII_CLEAN_SQL = _sql_pii_chain()
+
+SQL_PII_REDACT = f"""
+select doc_id,
+       {_PII_COUNTS_SQL},
+       {_PII_CLEAN_SQL} as clean_text
+from {DOCS_WITH_PII_SQL}
+"""
+
+
 # ------------------------------------------------------------- the contract
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full ER pipeline (block -> align-score -> cluster) on
@@ -2103,6 +2174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "dup_spans": q_dup_spans,
         "corpus_stats": q_corpus_stats,
+        "pii_redact": q_pii_redact,
         "corpus_curation": q_corpus_curation,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -2149,6 +2221,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": SQL_URL_DEDUP,
         "dup_spans": SQL_DUP_SPANS,
         "corpus_stats": SQL_CORPUS_STATS,
+        "pii_redact": SQL_PII_REDACT,
         "corpus_curation": SQL_CORPUS_CURATION,
         "ann_topk": SQL_ANN_TOPK,
         "ann_lsh": SQL_ANN_LSH,

@@ -51,6 +51,7 @@ HEADLINE = [
     "url_dedup",
     "dup_spans",
     "corpus_stats",
+    "pii_redact",
     "corpus_curation",
     "er_incremental",
     "ann_topk",

@@ -552,3 +552,42 @@ def corpus_token_stats(
             round6(F.percentile("n", F.lit(0.95))).alias("p95_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------ PII
+# Portable patterns (identical semantics in Java regex and RE2): email,
+# IPv4, US-SSN-shaped ids. Kept deliberately conservative — char classes,
+# bounded repetition, \b word boundaries; no lookaround (RE2), no
+# catastrophic backtracking shapes (Java).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Count and redact PII-shaped spans (the C4/CCNet-style scrub a web
+    corpus runs before training): emails, IPv4 addresses, SSN-shaped ids
+    replaced by typed placeholder tokens.
+
+    Counts are taken per pattern on the ORIGINAL text; redaction applies
+    the patterns in PII_PATTERNS order (email first, so an address is
+    one <EMAIL>, not an <EMAIL> wrapping an <IP>-like digit run). Pure
+    regexp_count/regexp_replace column expressions — codegen, zero
+    shuffle, embarrassingly row-parallel at any corpus size.
+    """
+    t = F.col(text_col)
+    clean = t
+    for _, pat, token in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, token)
+    return df.select(
+        F.col(id_col).alias(id_col),
+        *[
+            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS
+        ],
+        clean.alias("clean_text"),
+    )

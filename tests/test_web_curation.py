@@ -365,3 +365,26 @@ def test_corpus_token_stats_exact_percentiles(spark):
     assert xx.p50_tokens == 5.0
     assert abs(xx.p95_tokens - 7.7) < 1e-6
     assert out["yy"].p50_tokens == 1.0
+
+
+def test_redact_pii_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@corp.example.org today"),
+            (2, "server 192.168.1.20 and backup 10.0.0.7"),
+            (3, "ssn 123-45-6789 leaked"),
+            # email whose local part is dotted digits: must be ONE <EMAIL>,
+            # not an <IP> inside an email
+            (4, "from 1.2.3.4@ex.com sent"),
+            (5, "clean document with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text_ops.redact_pii(df).collect()}
+    assert out[1].n_email == 1 and out[1].clean_text == "mail me at <EMAIL> today"
+    assert out[2].n_ipv4 == 2
+    assert out[2].clean_text == "server <IP> and backup <IP>"
+    assert out[3].n_ssn == 1 and "<SSN>" in out[3].clean_text
+    assert out[4].clean_text == "from <EMAIL> sent"
+    assert out[5].clean_text == df.collect()[4].text
+    assert out[5].n_email == out[5].n_ipv4 == out[5].n_ssn == 0

@@ -25,7 +25,7 @@ QUERIES = [
     "ann_topk", "ann_lsh", "sorted_neighborhood", "events_window",
     "agg_lineitem", "join_topk", "corpus_curation", "er_incremental",
     "blocking_quality", "cluster_purity", "multi_join", "skew_salted_join",
-    "repetition", "line_dedup", "url_dedup", "dup_spans",
+    "repetition", "line_dedup", "url_dedup", "dup_spans", "pii_redact",
 ]
 
 
