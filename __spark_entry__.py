@@ -2122,14 +2122,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_pii_chain() -> tuple[str, str]:
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pat}'))::BIGINT as n_{name}"
-        for name, pat, _ in text_ops.PII_PATTERNS
-    )
-    clean = "text"
-    for _, pat, token in text_ops.PII_PATTERNS:
-        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
-    return counts, clean
+    # counts mirror ops/text.redact_pii: each pattern counted on the text
+    # as redacted by the PRECEDING patterns, so sum(n_*) == spans replaced
+    counts = []
+    cur = "text"
+    for name, pat, token in text_ops.PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}'))::BIGINT as n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{token}', 'g')"
+    return ",\n       ".join(counts), cur
 
 
 _PII_COUNTS_SQL, _PII_CLEAN_SQL = _sql_pii_chain()

@@ -469,7 +469,8 @@ def duplicate_span_stats(
     rewriting text.
 
     Shape: posexplode k-gram hashes (pure codegen, one md5 per gram) ->
-    document-frequency table on the 64-bit hash (map-side partials; the
+    document-frequency table on the 48-bit hash (md5 prefix, see
+    ``kgram_hashes``; collisions ~n_grams^2/2^49; map-side partials — the
     Zipf-headed hot grams each collapse to one row per input partition) ->
     join positions against the >max_df hashes only -> per-doc interval
     merge via a running-max window over gram end offsets (sorted by
@@ -573,21 +574,22 @@ def redact_pii(
     corpus runs before training): emails, IPv4 addresses, SSN-shaped ids
     replaced by typed placeholder tokens.
 
-    Counts are taken per pattern on the ORIGINAL text; redaction applies
-    the patterns in PII_PATTERNS order (email first, so an address is
-    one <EMAIL>, not an <EMAIL> wrapping an <IP>-like digit run). Pure
-    regexp_count/regexp_replace column expressions — codegen, zero
+    Redaction applies the patterns in PII_PATTERNS order (email first, so
+    an address is one <EMAIL>, not an <EMAIL> wrapping an <IP>-like digit
+    run), and each ``n_<name>`` is counted on the text as redacted by the
+    PRECEDING patterns — so overlapping spans are attributed to exactly
+    one pattern and ``sum(n_*)`` equals the number of placeholder tokens
+    inserted ('1.2.3.4@ex.com' is n_email=1, n_ipv4=0, one <EMAIL>).
+    Pure regexp_count/regexp_replace column expressions — codegen, zero
     shuffle, embarrassingly row-parallel at any corpus size.
     """
-    t = F.col(text_col)
-    clean = t
-    for _, pat, token in PII_PATTERNS:
-        clean = F.regexp_replace(clean, pat, token)
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token)
     return df.select(
-        F.col(id_col).alias(id_col),
-        *[
-            F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}")
-            for name, pat, _ in PII_PATTERNS
-        ],
-        clean.alias("clean_text"),
+        F.col(id_col).alias(id_col), *counts, cur.alias("clean_text")
     )

@@ -33,13 +33,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Tracking params dropped by step 6. Keep in sync with TRACKING_PARAM_RE.
+# Tracking params dropped by step 6 (regex alternatives). CAVEAT: the
+# default list includes bare ``ref``, which some hosts use semantically
+# (e.g. ``?ref=<branch>`` on code hosts) — with the default list, distinct
+# pages differing only in ``ref`` collapse to one canonical url and
+# ``url_dedup``/``normalize_pages`` keep a single representative. Pass a
+# custom ``tracking_params`` list (e.g. without ``ref``) to every entry
+# point below when crawling such hosts.
 TRACKING_PARAMS = ["utm_[a-zA-Z0-9_]*", "fbclid", "gclid", "ref"]
 TRACKING_PARAM_RE = "[?&](" + "|".join(TRACKING_PARAMS) + ")=[^&#]*"
 
 
-def canonical_url(url: Column) -> Column:
+def tracking_param_re(params: list[str]) -> str:
+    """Build the step-6 removal regex from a list of param-name patterns."""
+    return "[?&](" + "|".join(params) + ")=[^&#]*"
+
+
+def canonical_url(
+    url: Column, tracking_params: list[str] | None = None
+) -> Column:
     """Canonical form of a url (codegen-only; see module docstring).
+
+    ``tracking_params`` overrides the dropped query-param list (default
+    ``TRACKING_PARAMS``; see its conflation caveat about ``ref``).
 
     Query-side operations (tracking-param removal, separator repair) run
     on the SPLIT-OFF query component only: an un-anchored pattern over the
@@ -49,6 +65,11 @@ def canonical_url(url: Column) -> Column:
     strip requires another dotted label after it so the registrable host
     ``www.com`` is not rewritten to ``com``.
     """
+    tp_re = (
+        TRACKING_PARAM_RE
+        if tracking_params is None
+        else tracking_param_re(tracking_params)
+    )
     # 1. fragment
     u = F.regexp_replace(url, "#.*$", "")
     # 2. lowercase scheme://authority, keep path/query case. The authority
@@ -71,7 +92,7 @@ def canonical_url(url: Column) -> Column:
     # path-side slash stripping only the base.
     base = F.regexp_extract(u, "^([^?]*)", 1)
     q = F.regexp_replace(u, "^[^?]*", "")
-    q = F.regexp_replace(q, TRACKING_PARAM_RE, "")
+    q = F.regexp_replace(q, tp_re, "")
     # first surviving param lost its '?' to a removed leading tracking
     # param -> promote; a bare '?' / trailing '&' is dropped entirely
     q = F.regexp_replace(q, "^&", "?")
@@ -94,18 +115,25 @@ def canonical_host(url: Column) -> Column:
     return host_from_canonical(canonical_url(url))
 
 
-def add_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+def add_canonical_url(
+    df: DataFrame,
+    url_col: str = "url",
+    tracking_params: list[str] | None = None,
+) -> DataFrame:
     # canonical_host derives from the canonical_url COLUMN so the ~10-step
     # regexp chain runs once per row, not twice
     return df.withColumn(
-        "canonical_url", canonical_url(F.col(url_col))
+        "canonical_url", canonical_url(F.col(url_col), tracking_params)
     ).withColumn(
         "canonical_host", host_from_canonical(F.col("canonical_url"))
     )
 
 
 def url_dedup(
-    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    tracking_params: list[str] | None = None,
 ) -> DataFrame:
     """One row per canonical url: keep the smallest id (crawl-stable
     representative), count the spellings collapsed into it.
@@ -115,7 +143,7 @@ def url_dedup(
     exact-text dedup and safe at any corpus size.
     """
     return (
-        add_canonical_url(df, url_col)
+        add_canonical_url(df, url_col, tracking_params)
         .groupBy("canonical_url")
         .agg(
             F.min(F.col(id_col)).alias("keep_id"),

@@ -33,6 +33,7 @@ def normalize_pages(
     pages: DataFrame,
     text_from_html: bool = False,
     canonicalize_urls: bool = True,
+    tracking_params: list[str] | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang, ...) -> normalized frame with
     (url, canonical_url, host, text, norm_text, lang, warc_ts) where
@@ -44,12 +45,20 @@ def normalize_pages(
     html binary (exercises the byte-identical extractor invariant).
     ``canonicalize_urls=False`` restores raw-spelling identity (exact
     pre-round-3 behavior) for corpora whose urls are already canonical.
+    ``tracking_params`` overrides the dropped query-param list; the
+    default includes bare ``ref``, which conflates pages on hosts that
+    use ``?ref=`` semantically (see ``ops/web.TRACKING_PARAMS`` caveat) —
+    all but the latest capture of such a group are dropped here.
     """
     df = pages
     if text_from_html:
         df = df.withColumn("text", extract_text(F.col("html")))
     df = df.where(F.col("text").isNotNull() & (F.length("text") > 0))
-    curl = canonical_url(F.col("url")) if canonicalize_urls else F.col("url")
+    curl = (
+        canonical_url(F.col("url"), tracking_params)
+        if canonicalize_urls
+        else F.col("url")
+    )
     df = df.withColumn("canonical_url", curl)
     # Latest capture wins per canonical url (web crawls re-see pages);
     # deterministic survivor via the raw-spelling tie-break.

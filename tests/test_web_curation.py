@@ -386,5 +386,8 @@ def test_redact_pii_counts_and_order(spark):
     assert out[2].clean_text == "server <IP> and backup <IP>"
     assert out[3].n_ssn == 1 and "<SSN>" in out[3].clean_text
     assert out[4].clean_text == "from <EMAIL> sent"
+    # overlap attribution: the dotted-digit local part is counted as the
+    # email it sits in, NOT also as an IPv4 — sum(n_*) == tokens inserted
+    assert out[4].n_email == 1 and out[4].n_ipv4 == 0
     assert out[5].clean_text == df.collect()[4].text
     assert out[5].n_email == out[5].n_ipv4 == out[5].n_ssn == 0
