@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from globalign_spark.config import unit_cost_params  # noqa: E402
-from globalign_spark.ops import curation, dedup, similarity, text as text_ops  # noqa: E402
+from globalign_spark.ops import curation, dedup, embeddings, similarity, text as text_ops  # noqa: E402
 from globalign_spark.ops import web as web_ops  # noqa: E402
 from globalign_spark.pipeline import blocking, incremental, metrics  # noqa: E402
 from globalign_spark.pipeline.clustering import connected_components  # noqa: E402
@@ -1334,6 +1334,115 @@ where floor((list_dot_product(a.v, b.v)
 """
 
 
+# --------------------------------------------------- text -> embedding (r4)
+# Round-3 verdict item 2: the similarity stack previously consumed only the
+# fixture `embeddings` table; these queries derive the vectors from
+# documents.text with ops/embeddings (feature hashing — integer entries, so
+# the DuckDB twin is value-exact) and push them through the same
+# near-dup / ANN operators end-to-end.
+
+TEXT_EMB_DIM = 64
+TEXT_NEAR_DUP_THRESHOLD = 0.8  # p99 of the within-source cosine mass
+
+
+def q_embed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embeddings.embed_sparse(
+        _t(spark, sf_dir, "documents"), dim=TEXT_EMB_DIM
+    )
+
+
+# Shared SQL: sparse (doc_id, dim, val) sums of the feature-hashed tokens.
+_SQL_TEXT_SPARSE = f"""
+  t as (select doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') toks
+        from documents),
+  e as (select doc_id, unnest(toks) as tok from t),
+  h as (select doc_id, ('0x' || substr(md5(tok), 1, 12))::BIGINT as h from e),
+  sp as (select doc_id, (h >> 1) % {TEXT_EMB_DIM} as dim,
+                sum((h % 2) * 2 - 1) as val
+         from h group by doc_id, dim)
+"""
+
+# Shared SQL: dense per-doc vector (zero-filled to TEXT_EMB_DIM, doubles) —
+# the twin of embed_corpus's array column for the cosine queries.
+_SQL_TEXT_VEC = f"""
+  dm as (select range as dim from range({TEXT_EMB_DIM})),
+  dn as (select d.doc_id, dm.dim, coalesce(sp.val, 0)::DOUBLE as val
+         from (select distinct doc_id from documents) d
+         cross join dm
+         left join sp on sp.doc_id = d.doc_id and sp.dim = dm.dim),
+  v as (select doc_id, list(val order by dim) as vec from dn group by doc_id)
+"""
+
+SQL_EMBED_CORPUS = f"""
+with {_SQL_TEXT_SPARSE}
+select doc_id, dim::BIGINT as dim, val::BIGINT as val
+from sp where val <> 0
+"""
+
+
+def q_embed_near_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = embeddings.embed_corpus(
+        _t(spark, sf_dir, "documents"), dim=TEXT_EMB_DIM,
+        keep_cols=("source",),
+    )
+    return similarity.embedding_near_dup_pairs(
+        emb, block_col="source", id_col="doc_id", vec_col="embedding",
+        threshold=TEXT_NEAR_DUP_THRESHOLD,
+    )
+
+
+SQL_EMBED_NEAR_DUP_TEXT = f"""
+with {_SQL_TEXT_SPARSE},
+{_SQL_TEXT_VEC},
+g as (select d.doc_id, d.source, v.vec from documents d join v using (doc_id)),
+s as (
+  select a.doc_id as id_1, b.doc_id as id_2,
+         floor((list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec)))) * 1e6 + 0.5)
+           / 1e6::DOUBLE as cos_sim
+  from g a join g b on a.source = b.source and a.doc_id < b.doc_id
+)
+select id_1, id_2, cos_sim from s
+where cos_sim >= {TEXT_NEAR_DUP_THRESHOLD}
+"""
+
+
+def q_ann_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = embeddings.embed_corpus(
+        _t(spark, sf_dir, "documents"), dim=TEXT_EMB_DIM
+    )
+    out = similarity.brute_force_topk(
+        emb, emb.where(F.col("doc_id") < ANN_N_QUERIES), k=ANN_K,
+        id_col="doc_id", vec_col="embedding",
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_ANN_TEXT_TOPK = f"""
+with {_SQL_TEXT_SPARSE},
+{_SQL_TEXT_VEC},
+q as (select doc_id as query_id, vec as qv from v where doc_id < {ANN_N_QUERIES}),
+c as (select doc_id as neighbor_id, vec as cv from v),
+s as (
+  select query_id, neighbor_id,
+         floor((list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv)))) * 1e6 + 0.5)
+           / 1e6::DOUBLE as cos_sim
+  from q, c where neighbor_id <> query_id
+),
+r as (
+  select *, row_number() over (partition by query_id
+                               order by cos_sim desc, neighbor_id) as rank
+  from s
+)
+select query_id, neighbor_id, cos_sim, rank::BIGINT as rank
+from r where rank <= {ANN_K}
+"""
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return blocking.sorted_neighborhood_candidates(
@@ -2183,6 +2292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained_assign": q_ann_ivf_trained_assign,
         "embedding_near_dup": q_embedding_near_dup,
+        "embed_corpus": q_embed_corpus,
+        "embed_near_dup_text": q_embed_near_dup_text,
+        "ann_text_topk": q_ann_text_topk,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
         "skew_salted_join": q_skew_salted_join,
@@ -2230,6 +2342,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": SQL_ANN_IVF,
         "ann_ivf_trained_assign": SQL_ANN_IVF_TRAINED_ASSIGN,
         "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+        "embed_corpus": SQL_EMBED_CORPUS,
+        "embed_near_dup_text": SQL_EMBED_NEAR_DUP_TEXT,
+        "ann_text_topk": SQL_ANN_TEXT_TOPK,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,
         "skew_salted_join": SQL_SALTED_JOIN,

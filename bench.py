@@ -59,6 +59,9 @@ HEADLINE = [
     "ann_ivf",
     "ann_ivf_trained_assign",
     "embedding_near_dup",
+    "embed_corpus",
+    "embed_near_dup_text",
+    "ann_text_topk",
     "sorted_neighborhood",
     "salted_join",
     "skew_salted_join",

@@ -44,7 +44,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO error) when either vector has zero
+    norm — a web corpus has empty pages, and their embedding is the zero
+    vector; a NULL cosine falls out of every >= threshold filter and sorts
+    after real scores in a top-k window (desc puts nulls last)."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 def round6(x: Column) -> Column:

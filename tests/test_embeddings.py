@@ -1,0 +1,105 @@
+"""ops/embeddings: feature-hashed text -> vector (round-4 addition).
+
+Known-value tests compute the expected vector independently in pure Python
+(hashlib md5) — the Spark expression chain must reproduce it exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from globalign_spark.ops import embeddings as E
+from globalign_spark.ops import similarity
+
+
+def py_embed(text: str, dim: int, n: int = 1) -> list[int]:
+    toks = [t for t in text.split() if t]
+    if n > 1:
+        toks = (
+            [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if len(toks) >= n
+            else []
+        )
+    vec = [0] * dim
+    for t in toks:
+        h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+        vec[(h >> 1) % dim] += (h % 2) * 2 - 1
+    return vec
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "a"),
+            (2, "the quick brown fox", "a"),  # exact dup -> cosine 1
+            (3, "jumps over the lazy dog", "a"),
+            (4, "", "b"),  # empty -> zero vector
+            (5, "   spaced   out   tokens ", "b"),  # empty-token guard
+            (6, "solo", "c"),
+        ],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_embed_matches_pure_python(spark, docs):
+    out = {
+        r.doc_id: (list(r.embedding), r.n_tokens)
+        for r in E.embed_corpus(docs, dim=16).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in rows.items():
+        vec, n_tok = out[did]
+        assert vec == py_embed(text, 16), f"doc {did}"
+        assert n_tok == len(text.split())
+    assert out[4][0] == [0] * 16  # empty text -> zero vector
+    assert out[1][0] == out[2][0]  # deterministic
+
+
+def test_embed_ngram_bigrams(spark, docs):
+    out = {
+        r.doc_id: list(r.embedding)
+        for r in E.embed_corpus(docs, dim=16, n=2).collect()
+    }
+    rows = {r.doc_id: r.text for r in docs.collect()}
+    for did, text in rows.items():
+        assert out[did] == py_embed(text, 16, n=2), f"doc {did}"
+    # a 1-token doc has no bigrams -> zero vector (descending-sequence guard)
+    assert out[6] == [0] * 16
+
+
+def test_embed_sparse_is_dense_projection(spark, docs):
+    dense = {
+        r.doc_id: list(r.embedding)
+        for r in E.embed_corpus(docs, dim=16).collect()
+    }
+    sparse = E.embed_sparse(docs, dim=16).collect()
+    seen = {}
+    for r in sparse:
+        assert r.val != 0
+        seen.setdefault(r.doc_id, {})[r.dim] = r.val
+    for did, vec in dense.items():
+        expect = {d: v for d, v in enumerate(vec) if v != 0}
+        assert seen.get(did, {}) == expect
+
+
+def test_embed_keep_cols_and_near_dup_composition(spark, docs):
+    emb = E.embed_corpus(docs, dim=16, keep_cols=("source",))
+    assert set(emb.columns) == {"doc_id", "embedding", "n_tokens", "source"}
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, block_col="source", id_col="doc_id", vec_col="embedding",
+        threshold=0.999,
+    ).collect()
+    # the exact-dup pair (1,2) is the only cosine-1 pair, and it is found
+    # within its source block
+    assert [(r.id_1, r.id_2) for r in pairs] == [(1, 2)]
+    assert pairs[0].cos_sim == 1.0
+
+
+def test_embed_plan_is_shuffle_free(spark, docs):
+    plan = E.embed_corpus(docs, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle map-only op
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
