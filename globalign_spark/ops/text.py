@@ -527,21 +527,53 @@ def duplicate_span_stats(
 
 
 def corpus_token_stats(
-    df: DataFrame, group_col: str = "lang", text_col: str = "text"
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """Per-group corpus statistics: doc count, token mass, mean and EXACT
-    interpolated percentiles (p50/p95) of per-doc token counts — the
-    numbers a curation run reports per language/source before choosing
-    thresholds.
+    """Per-group corpus statistics: doc count, token mass, mean and
+    p50/p95 of per-doc token counts — the numbers a curation run reports
+    per language/source before choosing thresholds.
 
-    Exact ``percentile`` (not approx_percentile) so the DuckDB
-    ``quantile_cont`` twin verifies values; both engines use the R-7
-    linear-interpolation definition. At 10^12 rows exact percentiles cost
-    a per-group sort — fine for the handful of lang/source groups here;
-    for high-cardinality groupings switch to approx_percentile and drop
-    the oracle to rows-only.
+    Default (``approx=False``): EXACT interpolated ``percentile`` so the
+    DuckDB ``quantile_cont`` twin verifies values; both engines use the
+    R-7 linear-interpolation definition. Exact percentiles buffer the
+    group's values — fine for a handful of lang/source groups at any
+    corpus size, wrong for per-host groupings where one group can hold
+    10^9 docs.
+
+    Production (``approx=True``): ``approx_percentile`` (Greenwald-Khanna
+    sketch, mergeable map-side partials, O(accuracy * log n) memory per
+    group regardless of group size). Returns an OBSERVED value whose rank
+    differs from the true percentile rank by at most ``n/accuracy`` (no
+    interpolation). No exact SQL twin — the `corpus_stats` oracle row
+    stays on the exact path; the approx path is pytest-bounded against it
+    (rank error ≤ n/accuracy, `tests/test_web_curation.py`).
     """
     n = F.size(ws_tokens(F.col(text_col)))
+    if approx:
+        pcts = F.approx_percentile(
+            F.col("n"),
+            F.array(F.lit(0.5), F.lit(0.95)),
+            F.lit(accuracy),
+        )
+        p50 = round6(pcts[0].cast("double")).alias("p50_tokens")
+        p95 = round6(pcts[1].cast("double")).alias("p95_tokens")
+        # approx_percentile yields both values from ONE sketch; alias the
+        # struct once via an agg expression list
+        return (
+            df.select(F.col(group_col).alias("grp"), n.alias("n"))
+            .groupBy("grp")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n").cast("long").alias("total_tokens"),
+                round6(F.avg("n")).alias("mean_tokens"),
+                p50,
+                p95,
+            )
+        )
     return (
         df.select(F.col(group_col).alias("grp"), n.alias("n"))
         .groupBy("grp")

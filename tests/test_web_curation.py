@@ -367,6 +367,28 @@ def test_corpus_token_stats_exact_percentiles(spark):
     assert out["yy"].p50_tokens == 1.0
 
 
+def test_corpus_token_stats_approx_bounded_by_exact(spark):
+    # 500 docs with token counts 1..500 in one group: the GK sketch's
+    # returned value must be an OBSERVED count whose rank is within
+    # n/accuracy of the true percentile rank.
+    n, accuracy = 500, 100
+    rows = [(i, "w " * i, "xx") for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    approx = text_ops.corpus_token_stats(df, approx=True, accuracy=accuracy)
+    row = approx.collect()[0]
+    assert row.n_docs == n and row.total_tokens == n * (n + 1) // 2
+    counts = list(range(1, n + 1))
+    eps = n / accuracy
+    for p, got in [(0.5, row.p50_tokens), (0.95, row.p95_tokens)]:
+        assert got in counts  # observed value, not interpolated
+        rank = counts.index(int(got))
+        assert abs(rank - p * (n - 1)) <= eps + 1, (p, got)
+    # schema identical to the exact path (drop-in production swap)
+    exact = text_ops.corpus_token_stats(df)
+    assert approx.columns == exact.columns
+    assert approx.schema == exact.schema
+
+
 def test_redact_pii_counts_and_order(spark):
     df = spark.createDataFrame(
         [
