@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rescue-top-k", type=int, default=50,
                    help="best-estimated-Jaccard partners kept per rescued"
                         " singleton (0 = unlimited)")
+    p.add_argument("--auto-banding", action="store_true",
+                   help="derive (rows_per_band, num_bands) from the corpus's"
+                        " measured truth-pair Jaccard histogram (num_perm"
+                        " becomes the signature-width budget; the chosen plan"
+                        " is recorded in the s1_candidates manifest)")
+    p.add_argument("--auto-banding-target", type=float, default=0.95,
+                   help="blocking pair-completeness target for --auto-banding")
     p.add_argument("--text-from-html", action="store_true",
                    help="re-extract text from the html column (byte-identical"
                         " invariant path)")
@@ -115,6 +122,8 @@ def main(argv=None) -> int:
         rescue_rows_per_band=args.rescue_rows_per_band,
         rescue_bucket_cap=args.rescue_bucket_cap,
         rescue_top_k=args.rescue_top_k,
+        auto_banding=args.auto_banding,
+        auto_banding_target=args.auto_banding_target,
     )
     summary = run_pipeline(spark, pages, cfg, labeled_pairs=truth)
     sc = spark.sparkContext

@@ -139,8 +139,16 @@ def lsh_candidates(
     cache_registry: list | None = None,
     sig_df: DataFrame | None = None,
     n_docs: int | None = None,
+    band_width: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Candidate id pairs from banded MinHash LSH.
+
+    ``band_width`` (adaptive banding, :func:`choose_banding`): the number
+    of leading signature positions banding consumes — ``num_bands`` bands
+    of ``band_width // num_bands`` rows. Defaults to ``num_perm`` (the
+    whole signature). The signature screen always estimates on the FULL
+    ``num_perm`` width regardless, so a plan that bands on a prefix still
+    screens at maximum precision.
 
     ``cache_registry``: with ``est_jaccard_floor`` > 0 the screened
     candidate frame is lazily persisted so the stats branch and the pairs
@@ -179,9 +187,11 @@ def lsh_candidates(
     )
     bands = with_sig.select(
         "_id",
-        F.posexplode(band_keys_col(F.col("signature"), num_bands, num_perm)).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(
+            band_keys_col(
+                F.col("signature"), num_bands, band_width or num_perm
+            )
+        ).alias("band_id", "band_hash"),
     )
     # Bucket-size accounting; cap protects against degenerate buckets
     # (boilerplate pages) going quadratic.
@@ -492,6 +502,275 @@ def rescue_candidates(
         ).alias("n_screened_out"),
     ).withColumn("n_probes", F.lit(n_probes))
     return pairs, stats.crossJoin(screen_stats)
+
+
+# ------------------------------------------------- adaptive banding (r4)
+# The measured decay this answers (BENCH/r3/SCALE_EVIDENCE.md §7): blocking
+# pair completeness at FIXED 42x3 banding fell 0.9266 (400k pages) ->
+# 0.9002 (1M) as the truth-pair tail thickened near the Jaccard floor. The
+# fix is provisioning banding from the DATA — the measured truth-pair
+# Jaccard histogram — the same way skew_salted_join derives its salt from
+# the key histogram, instead of inheriting a constant tuned at 50k.
+
+
+def banding_catch_prob(s: float, rows: int, bands: int) -> float:
+    """P(>=1 band collides) for a pair of Jaccard ``s`` under
+    ``bands`` x ``rows`` MinHash banding: 1 - (1 - s^rows)^bands."""
+    s = min(max(s, 0.0), 1.0)
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+class BandingPlan:
+    """Chosen banding + the evidence it was chosen from (lineage)."""
+
+    def __init__(self, rows_per_band: int, num_bands: int, **evidence):
+        self.rows_per_band = rows_per_band
+        self.num_bands = num_bands
+        self.num_perm = rows_per_band * num_bands
+        self.evidence = evidence
+
+    def as_dict(self) -> dict:
+        return {
+            "rows_per_band": self.rows_per_band,
+            "num_bands": self.num_bands,
+            "num_perm": self.num_perm,
+            **self.evidence,
+        }
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"BandingPlan({self.as_dict()})"
+
+
+def _select_banding(
+    truth_hist: dict[float, float],
+    bg_hist: dict[float, float],
+    target_completeness: float,
+    max_perm: int,
+    rows_options: tuple[int, ...] = (2, 3, 4),
+    bg_cap: float = 0.4,
+    min_truth_mass: float = 30.0,
+    default: tuple[int, int] = (3, 42),
+) -> BandingPlan:
+    """Pure driver-side selection from two WEIGHTED estimated-Jaccard
+    histograms {est_j_bin: mass} (unit-testable without Spark).
+
+    For each (rows, bands <= max_perm // rows):
+      completeness = mass-weighted mean catch prob over the TRUTH hist
+      bg_rate      = mass-weighted mean catch prob over the BACKGROUND hist
+    Pick the cheapest config that meets the completeness target with
+    bg_rate <= bg_cap; if no config meets the target inside the width
+    budget, maximize completeness among bg-affordable configs (and say
+    so); with too little truth mass to estimate from, keep the default.
+    """
+    t_mass = sum(truth_hist.values())
+    base = {
+        "truth_mass": round(t_mass, 1),
+        "bg_mass": round(sum(bg_hist.values()), 1),
+        "est_floor": (
+            round(min(truth_hist), 4) if truth_hist else None
+        ),
+        "target_completeness": target_completeness,
+        "bg_cap": bg_cap,
+        "max_perm": max_perm,
+    }
+    if t_mass < min_truth_mass:
+        r, b = default
+        return BandingPlan(
+            r, b, chosen_by="fallback-insufficient-truth-mass",
+            predicted_completeness=None, predicted_bg_rate=None, **base,
+        )
+    t = np.clip(np.array(list(truth_hist), dtype=np.float64), 0.0, 1.0)
+    tw = np.array(list(truth_hist.values()), dtype=np.float64)
+    tw = tw / tw.sum()
+    g = np.clip(np.array(list(bg_hist), dtype=np.float64), 0.0, 1.0)
+    gw = np.array(list(bg_hist.values()), dtype=np.float64)
+    gw = gw / gw.sum() if gw.sum() > 0 else gw
+    candidates = []  # (bg_rate, width, -rows, rows, bands, completeness)
+    best_effort = None
+    for r in rows_options:
+        per_band_t = t**r
+        per_band_g = g**r
+        for b in range(1, max_perm // r + 1):
+            comp = float(np.sum(tw * (1.0 - (1.0 - per_band_t) ** b)))
+            bg = (
+                float(np.sum(gw * (1.0 - (1.0 - per_band_g) ** b)))
+                if len(g) else 0.0
+            )
+            if bg > bg_cap:
+                break  # bg_rate is monotone in bands: wider only worse
+            if comp >= target_completeness:
+                candidates.append((bg, r * b, -r, r, b, comp))
+                break  # completeness monotone in bands: first b is cheapest
+            if best_effort is None or comp > best_effort[0]:
+                best_effort = (comp, bg, r, b)
+    if candidates:
+        bg, _, _, r, b, comp = min(candidates)
+        return BandingPlan(
+            r, b, chosen_by="target-met-min-bg",
+            predicted_completeness=round(comp, 4),
+            predicted_bg_rate=round(bg, 4), **base,
+        )
+    if best_effort is not None:
+        comp, bg, r, b = best_effort
+        return BandingPlan(
+            r, b, chosen_by="best-effort-target-unreachable-in-width",
+            predicted_completeness=round(comp, 4),
+            predicted_bg_rate=round(bg, 4), **base,
+        )
+    r, b = default
+    return BandingPlan(
+        r, b, chosen_by="fallback-no-affordable-config",
+        predicted_completeness=None, predicted_bg_rate=None, **base,
+    )
+
+
+def choose_banding(
+    sig_df: DataFrame,
+    num_perm: int,
+    target_completeness: float = 0.95,
+    dup_threshold: float = 0.25,
+    probe_cap: int = 2000,
+    bg_anchors: int = 64,
+    bucket_cap: int = 2000,
+    rows_options: tuple[int, ...] = (2, 3, 4),
+    bg_cap: float = 0.4,
+    n_docs: int | None = None,
+) -> BandingPlan:
+    """Data-driven (rows_per_band, num_bands) from the corpus itself.
+
+    Estimation (all distributed, all bounded):
+      1. PROBE: the ``probe_cap`` docs with the smallest xxhash64(_id) —
+         deterministic, order-insensitive, unbiased in content.
+      2. COLLISION HISTOGRAM: probe docs are banded against the whole
+         corpus at the most sensitive affordable grouping (2 rows/band
+         over the full signature — the rescue pass's shape, with the same
+         bucket-cap + distinct-first guards), each colliding pair's
+         Jaccard is estimated by the shared 15-bit signature estimator,
+         and the estimates are binned to 2 dp (the collect is <= 101
+         bin counts, never rows).
+      3. BACKGROUND HISTOGRAM + SUBTRACTION: probe x ``bg_anchors`` fixed
+         anchor docs (broadcast cross join, <= probe_cap * bg_anchors
+         pairs) estimate the UNCONDITIONAL random-pair Jaccard
+         distribution. Near the screen floor the probe collisions are
+         dominated by background pairs (their est-Jaccard overlaps the
+         truth tail, and there are n^2/2 of them) — using the raw
+         collision histogram as "truth" would provision bands for junk.
+         So the truth histogram is the EXCESS over background: per bin,
+         observed collisions minus the background mass expected to
+         collide there (bg density x probe-pair universe x the est
+         banding's catch probability), clamped at zero. Bins below
+         ``dup_threshold`` (the pipeline's signature-screen floor —
+         pairs under it are screened out even when banding catches them)
+         are excluded outright.
+      4. ``_select_banding`` picks the cheapest config meeting the
+         completeness target within the ``num_perm`` width budget,
+         pricing each config's collision mass on the background
+         histogram.
+
+    The width budget IS ``num_perm``: signatures are computed once at the
+    configured width and banding uses a prefix, so adaptivity costs
+    nothing extra per-row — provision ``num_perm`` for the corpus you
+    fear, and this function spends only what the data requires (it
+    rediscovers 42x3 from the 50k-entity corpus rather than defaulting
+    to the widest/most collision-heavy scheme).
+
+    Cost at corpus scale: one banding projection + explode over the
+    signature table (the same map-only shape as a rescue pass), a
+    bucket-size aggregation keyed by (band, hash), and two bounded
+    collects (<= ``truth_collect_cap`` + probe_cap * bg_anchors floats).
+    """
+    sigs = sig_df.select("_id", "signature")
+    rank = F.xxhash64(F.col("_id"))
+    probe = (
+        sigs.select("_id").orderBy(rank.asc(), F.col("_id"))
+        .limit(probe_cap)
+    )
+
+    est_bands = num_perm // 2
+    bands = sigs.select(
+        "_id",
+        F.posexplode(
+            band_keys_col(F.col("signature"), est_bands, num_perm)
+        ).alias("band_id", "band_hash"),
+    )
+    probe_bands = bands.join(F.broadcast(probe), "_id", "left_semi")
+    # Bucket sizes only for keys a probe actually touches: the aggregation
+    # shuffles <= probe_cap * est_bands distinct keys, never the corpus's
+    # full bucket keyspace.
+    probe_keys = probe_bands.select("band_id", "band_hash").distinct()
+    sizes = (
+        bands.join(F.broadcast(probe_keys), ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("bsz"))
+    )
+    ok_keys = sizes.where(F.col("bsz") <= bucket_cap).drop("bsz")
+    raw = (
+        bands.join(F.broadcast(
+            probe_bands.join(ok_keys, ["band_id", "band_hash"])
+            .select("band_id", "band_hash", F.col("_id").alias("id_1"))
+        ), ["band_id", "band_hash"])
+        .where(F.col("_id") != F.col("id_1"))
+        .select("id_1", F.col("_id").alias("id_2"))
+        .distinct()
+    )
+    caches: list = []
+    est = _pair_est_jaccard(raw, sigs, num_perm, caches, n_docs=n_docs)
+    obs_hist = {
+        float(r["b"]): float(r["count"])
+        for r in est.groupBy(F.round("_est_j", 2).alias("b")).count().collect()
+    }
+    for frame in caches:
+        frame.unpersist()
+
+    anchors = (
+        sigs.join(F.broadcast(probe), "_id", "left_semi")
+        .orderBy(F.xxhash64(F.col("_id")).asc(), F.col("_id"))
+        .limit(bg_anchors)
+        .select(F.col("_id").alias("_aid"), F.col("signature").alias("_asig"))
+    )
+    bg_pairs = (
+        sigs.join(F.broadcast(probe), "_id", "left_semi")
+        .crossJoin(F.broadcast(anchors))
+        .where(F.col("_id") != F.col("_aid"))
+        .withColumn(
+            "_est_j",
+            F.size(
+                F.filter(
+                    F.zip_with("signature", "_asig", lambda x, y: x == y),
+                    lambda m: m,
+                )
+            ) / F.lit(float(num_perm)),
+        )
+    )
+    bg_hist = {
+        float(r["b"]): float(r["count"])
+        for r in bg_pairs.groupBy(F.round("_est_j", 2).alias("b"))
+        .count().collect()
+    }
+    n_bg = sum(bg_hist.values())
+    if n_docs is None:
+        n_docs = sigs.count()
+    n_probes = min(probe_cap, n_docs)
+
+    # Background subtraction (docstring step 3): observed collisions per
+    # bin minus the background mass expected to collide there.
+    bg_scale = (n_probes * max(n_docs - 1, 1)) / max(n_bg, 1.0)
+    truth_hist: dict[float, float] = {}
+    for b, c in obs_hist.items():
+        if b < dup_threshold:
+            continue
+        expected_bg = (
+            bg_hist.get(b, 0.0) * bg_scale
+            * banding_catch_prob(b, 2, est_bands)
+        )
+        excess = c - expected_bg
+        if excess > 0:
+            truth_hist[b] = excess
+
+    return _select_banding(
+        truth_hist, bg_hist, target_completeness, num_perm,
+        rows_options=rows_options, bg_cap=bg_cap,
+    )
 
 
 def sorted_neighborhood_candidates(

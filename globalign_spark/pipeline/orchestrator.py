@@ -102,6 +102,17 @@ class PipelineConfig:
     rescue_rows_per_band: int = 2
     rescue_bucket_cap: int = 500
     rescue_top_k: int = 50
+    # Adaptive banding (round 4): derive (rows_per_band, num_bands) from
+    # the corpus's measured truth-pair Jaccard histogram instead of the
+    # num_bands constant above — see blocking.choose_banding. num_perm
+    # stays the signature-width BUDGET (banding may use a prefix); the
+    # chosen plan lands in the s1_candidates manifest as lineage. The
+    # fixed default is tuned at 50k entities; at 400k+ the truth tail
+    # thickens near the Jaccard floor and fixed banding's completeness
+    # decays (0.9266 at 400k -> 0.9002 at 1M) — auto mode re-provisions
+    # per corpus.
+    auto_banding: bool = False
+    auto_banding_target: float = 0.95
     params: AlignParams = field(default_factory=unit_cost_params)
 
     def fingerprint(self) -> str:
@@ -126,6 +137,8 @@ class PipelineConfig:
             "rescue_rows_per_band": self.rescue_rows_per_band,
             "rescue_bucket_cap": self.rescue_bucket_cap,
             "rescue_top_k": self.rescue_top_k,
+            "auto_banding": self.auto_banding,
+            "auto_banding_target": self.auto_banding_target,
             "params": repr(self.params),
             # Bump whenever STAGE CODE changes output semantics with no
             # config field to witness it (the config hash alone cannot see
@@ -258,6 +271,17 @@ def run_pipeline(
     n_docs = ck.manifest("s1_signatures")["rows"] if need_sig else None
 
     if not ck.has("s1_candidates"):
+        num_bands, band_width, plan_meta = cfg.num_bands, None, {}
+        if cfg.auto_banding:
+            plan = blocking.choose_banding(
+                sig, cfg.num_perm,
+                target_completeness=cfg.auto_banding_target,
+                dup_threshold=max(cfg.est_jaccard_floor, 0.25),
+                n_docs=n_docs,
+            )
+            num_bands = plan.num_bands
+            band_width = plan.num_perm
+            plan_meta = {"banding_plan": plan.as_dict()}
         s1_caches: list = []
         lsh_pairs, lsh_stats = blocking.lsh_candidates(
             norm,
@@ -265,13 +289,14 @@ def run_pipeline(
             text_col="norm_text",
             shingle_k=cfg.shingle_k,
             num_perm=cfg.num_perm,
-            num_bands=cfg.num_bands,
+            num_bands=num_bands,
             bucket_cap=cfg.bucket_cap,
             over_cap_window=cfg.over_cap_window,
             est_jaccard_floor=cfg.est_jaccard_floor,
             cache_registry=s1_caches,
             sig_df=sig,
             n_docs=n_docs,
+            band_width=band_width,
         )
         sn_pairs = blocking.sorted_neighborhood_candidates(
             norm, id_col="url", key_col="host", order_col="norm_text",
@@ -289,7 +314,10 @@ def run_pipeline(
         )
         cand = lsh_pairs.union(sn_pairs).union(sn_rev).distinct()
         stats_row = lsh_stats.collect()[0].asDict()
-        cand = ck.write("s1_candidates", cand, meta={"lsh_bucket_stats": stats_row})
+        cand = ck.write(
+            "s1_candidates", cand,
+            meta={"lsh_bucket_stats": stats_row, **plan_meta},
+        )
         # Both readers of the screened-candidate cache (stats collect,
         # checkpoint write) have run; release it so repeated runs in one
         # session don't accumulate dead cached partitions.
