@@ -2,10 +2,13 @@
 
 Decode backends, by modality:
 
-- **image** — two REAL decoders: :class:`PngDecodeBackend` (stdlib-only —
-  zlib inflate + PNG scanline unfiltering, no codec package needed) and
+- **image** — three REAL decoders: :class:`PngDecodeBackend` (stdlib-only
+  — zlib inflate + PNG scanline unfiltering), :class:`JpegDecodeBackend`
+  (stdlib+numpy baseline sequential JPEG: Huffman entropy decode,
+  dequantize, IDCT, chroma upsample — a true COMPRESSED format decoded
+  with no codec package; progressive/arithmetic stay a typed seam), and
   :class:`PillowDecodeBackend` (any Pillow-supported format, when Pillow
-  is importable). Both emit the same 64-dim pooled-grayscale feature
+  is importable). All emit the same 64-dim pooled-grayscale feature
   contract.
 - **audio** — REAL decoder :class:`WavDecodeBackend` (stdlib ``wave``:
   PCM 8/16-bit, any channel count) -> 16-dim time/spectral features.
@@ -213,6 +216,292 @@ class PngDecodeBackend(DecodeBackend):
         return _pool_gray_8x8(gray)
 
 
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# Orthonormal 8-point IDCT basis: A[x, u] = 0.5 * c(u) * cos((2x+1)u*pi/16)
+# (ITU-T T.81 A.3.3); spatial = A @ F @ A.T.
+_IDCT_A = np.array([
+    [0.5 * (1 / np.sqrt(2) if u == 0 else 1.0)
+     * np.cos((2 * x + 1) * u * np.pi / 16) for u in range(8)]
+    for x in range(8)
+])
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    stuffing; restart markers (FFD0-D7) are consumed by ``restart()`` at
+    MCU-interval boundaries, any other marker ends the scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                # marker: feed padding 1-bits (T.81 F.2.2.5 allows the
+                # final byte to be bit-padded); decode loops stop by MCU
+                # count, so this is only ever trailing padding
+                self.bits = (self.bits << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.bits >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1  # skip pad bytes before the marker
+        m = self.data[self.pos + 1]
+        if not (0xD0 <= m <= 0xD7):
+            raise ValueError(f"JPEG: expected restart marker, got FF{m:02X}")
+        self.pos += 2
+
+
+def _jpeg_huff_decode(reader: _JpegBitReader, table: dict) -> int:
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+        if length > 16:
+            raise ValueError("JPEG: invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+class JpegDecodeBackend(DecodeBackend):
+    """REAL compressed-image decode with stdlib + numpy only: baseline
+    sequential DCT JPEG (SOF0/SOF1, 8-bit, Huffman) per ITU-T T.81 —
+    marker parse, entropy decode, dequantize, de-zigzag, float IDCT,
+    chroma upsample, luma pooling into the shared 64-dim feature
+    contract. Progressive (SOF2), arithmetic coding, and 12-bit
+    precision raise NotImplementedError (counted by the Spark path,
+    never fatal); ``decode_pixels`` exposes full RGB for tests against
+    an independent decoder (Pillow/libjpeg, agreement within integer-
+    IDCT rounding).
+
+    Cost class: Python-loop entropy decode per blob (like the PNG
+    unfilter loop) + vectorized numpy IDCT per 8x8 block — a per-row
+    kernel inside Arrow-batched mapInPandas, the same boundary every
+    media backend uses."""
+
+    MAX_PIXELS = 64_000_000  # decompression-bomb guard
+
+    def decode(self, kind: str, blob: bytes) -> np.ndarray:
+        if kind not in ("", "image"):
+            raise NotImplementedError(f"JpegDecodeBackend: kind={kind!r}")
+        planes, (h, w), n_comp = self._decode_planes(blob)
+        # For YCbCr (3-comp) the Y plane IS the ITU-R 601 luma; grayscale
+        # JPEGs have only Y. No color conversion needed for features.
+        return _pool_gray_8x8(planes[0][:h, :w])
+
+    def decode_pixels(self, blob: bytes) -> np.ndarray:
+        """(h, w, 3) uint8 RGB (JFIF YCbCr -> RGB) or (h, w) grayscale."""
+        planes, (h, w), n_comp = self._decode_planes(blob)
+        if n_comp == 1:
+            return np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(
+                np.uint8
+            )
+        y, cb, cr = (p[:h, :w] for p in planes[:3])
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=-1)), 0, 255
+        ).astype(np.uint8)
+
+    def _decode_planes(self, blob: bytes):
+        import struct
+
+        if blob[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (missing SOI)")
+        qt: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        frame = None
+        restart_interval = 0
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                raise ValueError("JPEG: marker sync lost")
+            marker = blob[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            seg_len = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+            seg = blob[pos + 4:pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    prec, tid = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if prec:
+                        tbl = np.frombuffer(
+                            seg[i:i + 128], ">u2"
+                        ).astype(np.float64)
+                        i += 128
+                    else:
+                        tbl = np.frombuffer(
+                            seg[i:i + 64], np.uint8
+                        ).astype(np.float64)
+                        i += 64
+                    qt[tid] = tbl
+            elif marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    cls, tid = seg[i] >> 4, seg[i] & 15
+                    counts = seg[i + 1:i + 17]
+                    i += 17
+                    table: dict = {}
+                    code = 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            table[(ln, code)] = seg[i]
+                            code += 1
+                            i += 1
+                        code <<= 1
+                    huff[(cls, tid)] = table
+            elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
+                prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+                if prec != 8:
+                    raise NotImplementedError(
+                        f"JPEG: {prec}-bit precision unsupported"
+                    )
+                if h * w > self.MAX_PIXELS:
+                    raise ValueError("JPEG: image too large")
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                    )
+                frame = {"h": h, "w": w, "comps": comps}
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"JPEG: SOF{marker - 0xC0} (progressive/arithmetic/"
+                    "hierarchical) unsupported — baseline sequential only"
+                )
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    raise ValueError("JPEG: SOS before SOF")
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(
+                        x for x in frame["comps"] if x["id"] == cs
+                    )
+                    scan.append(
+                        (comp, huff[(0, tables >> 4)], huff[(1, tables & 15)])
+                    )
+                return self._decode_scan(
+                    blob, pos + 2 + seg_len, frame, scan, qt,
+                    restart_interval,
+                )
+            pos += 2 + seg_len
+        raise ValueError("JPEG: no scan data found")
+
+    def _decode_scan(self, blob, data_pos, frame, scan, qt, ri):
+        h, w = frame["h"], frame["w"]
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = []
+        for comp, _, _ in scan:
+            planes.append(
+                np.zeros(
+                    (mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8),
+                    dtype=np.float64,
+                )
+            )
+        reader = _JpegBitReader(blob, data_pos)
+        dc_pred = [0] * len(scan)
+        n_mcus = mcus_x * mcus_y
+        for m in range(n_mcus):
+            if ri and m and m % ri == 0:
+                reader.restart()
+                dc_pred = [0] * len(scan)
+            my, mx = divmod(m, mcus_x)
+            for ci, (comp, dc_tbl, ac_tbl) in enumerate(scan):
+                q = qt[comp["tq"]]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = _jpeg_huff_decode(reader, dc_tbl)
+                        dc_pred[ci] += _jpeg_extend(reader.receive(t), t)
+                        zz[0] = dc_pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, ac_tbl)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            zz[k] = _jpeg_extend(reader.receive(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * q
+                        block = (
+                            _IDCT_A @ coef.reshape(8, 8) @ _IDCT_A.T + 128.0
+                        )
+                        y0 = (my * comp["v"] + by) * 8
+                        x0 = (mx * comp["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+        # upsample subsampled chroma to full resolution (pixel replication
+        # — the nearest-neighbor upsampling T.81 A.1.1 permits)
+        out = []
+        for ci, (comp, _, _) in enumerate(scan):
+            p = planes[ci]
+            ry, rx = vmax // comp["v"], hmax // comp["h"]
+            if ry > 1 or rx > 1:
+                p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+            out.append(p)
+        return out, (h, w), len(scan)
+
+
 class WavDecodeBackend(DecodeBackend):
     """REAL audio decode with the standard library only: WAV PCM (8/16
     bit, any channel count) via the ``wave`` module -> mono float signal
@@ -356,21 +645,27 @@ class Y4mDecodeBackend(DecodeBackend):
 
 class KindDispatchBackend(DecodeBackend):
     """Production composition: route each blob to its modality's real
-    decoder (image -> PNG/stdlib with Pillow fallback for other formats,
-    audio -> WAV, video -> Y4M when the magic matches). Compressed video
-    containers stay the documented NotImplementedError seam."""
+    decoder (image -> PNG or baseline JPEG by magic, with Pillow fallback
+    for other formats when installed; audio -> WAV; video -> Y4M when the
+    magic matches). Compressed video containers stay the documented
+    NotImplementedError seam."""
 
     def __init__(self) -> None:
         self._png = PngDecodeBackend()
+        self._jpeg = JpegDecodeBackend()
         self._wav = WavDecodeBackend()
         self._y4m = Y4mDecodeBackend()
         self._pillow = PillowDecodeBackend() if PIL_AVAILABLE else None
 
     def decode(self, kind: str, blob: bytes) -> np.ndarray:
         if kind == "image":
-            if blob[:8] == b"\x89PNG\r\n\x1a\n" or self._pillow is None:
+            if blob[:8] == b"\x89PNG\r\n\x1a\n":
                 return self._png.decode(kind, blob)
-            return self._pillow.decode(kind, blob)
+            if blob[:2] == b"\xff\xd8":
+                return self._jpeg.decode(kind, blob)
+            if self._pillow is not None:
+                return self._pillow.decode(kind, blob)
+            return self._png.decode(kind, blob)  # raises its typed error
         if kind == "audio":
             return self._wav.decode(kind, blob)
         if kind == "video" and blob.startswith(b"YUV4MPEG2"):

@@ -273,6 +273,12 @@ def stream_incremental_er(
             old_assign = spark.read.parquet(str(assign_dirs[-1]))
         else:
             old_assign = None
+        # The batch frame feeds >= 2 actions (bands/signature pass, docs
+        # state write, optionally edge scoring); without a persist each
+        # action re-reads the source files — measured as numInputRows
+        # = 2x the trigger's actual rows, i.e. doubled ingest I/O at
+        # crawl scale. Cache once, release at the end of the trigger.
+        batch = batch.persist()
 
         # One signature pass per document, in the batch that delivers it;
         # checkpointed because the rows feed both the probe and the
@@ -316,6 +322,7 @@ def stream_incremental_er(
         new_bands.write.mode("overwrite").parquet(
             str(root / "bands" / f"v{batch_id}")
         )
+        batch.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)
