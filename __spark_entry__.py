@@ -1443,6 +1443,62 @@ from r where rank <= {ANN_K}
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from globalign_spark.ops import semdedup
+    from globalign_spark.ops.semdedup_frozen import SEMDEDUP_CENTROIDS
+
+    return semdedup.semantic_dedup(
+        _t(spark, sf_dir, "documents"), SEMDEDUP_CENTROIDS,
+        threshold=SEMDEDUP_THRESHOLD,
+    )
+
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def _semdedup_sql() -> str:
+    from globalign_spark.ops.semdedup_frozen import SEMDEDUP_CENTROIDS
+
+    cents = ",\n    ".join(
+        f"({i}, [{', '.join(str(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(SEMDEDUP_CENTROIDS)
+    )
+
+    def cos(a, b):
+        return (
+            f"floor((list_dot_product({a}, {b})"
+            f" / nullif(sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})), 0)) * 1e6 + 0.5) / 1e6"
+        )
+
+    return f"""
+with {_SQL_TEXT_SPARSE},
+{_SQL_TEXT_VEC},
+cent(cid, centv) as (values
+    {cents}),
+asg as (
+  select doc_id, cid, vec from (
+    select v.doc_id, c.cid, v.vec,
+           row_number() over (
+             partition by v.doc_id
+             order by {cos('v.vec', 'c.centv')} desc, c.cid) as rn
+    from v, cent c) where rn = 1
+),
+sims as (
+  select a.doc_id, max({cos('a.vec', 'b.vec')}) as ms
+  from asg a join asg b on a.cid = b.cid and b.doc_id < a.doc_id
+  group by a.doc_id
+)
+select a.doc_id, a.cid,
+       coalesce(s.ms, -1.0)::DOUBLE as max_sim_lower,
+       (coalesce(s.ms, -1.0) < {SEMDEDUP_THRESHOLD}) as kept
+from asg a left join sims s using (doc_id)
+"""
+
+
+SQL_SEMANTIC_DEDUP = _semdedup_sql()
+
+
 def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return blocking.sorted_neighborhood_candidates(
@@ -2295,6 +2351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_corpus": q_embed_corpus,
         "embed_near_dup_text": q_embed_near_dup_text,
         "ann_text_topk": q_ann_text_topk,
+        "semantic_dedup": q_semantic_dedup,
         "sorted_neighborhood": q_sorted_neighborhood,
         "salted_join": q_salted_join,
         "skew_salted_join": q_skew_salted_join,
@@ -2345,6 +2402,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_corpus": SQL_EMBED_CORPUS,
         "embed_near_dup_text": SQL_EMBED_NEAR_DUP_TEXT,
         "ann_text_topk": SQL_ANN_TEXT_TOPK,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "sorted_neighborhood": SQL_SORTED_NEIGHBORHOOD,
         "salted_join": SQL_SALTED_JOIN,
         "skew_salted_join": SQL_SALTED_JOIN,

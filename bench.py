@@ -62,6 +62,7 @@ HEADLINE = [
     "embed_corpus",
     "embed_near_dup_text",
     "ann_text_topk",
+    "semantic_dedup",
     "sorted_neighborhood",
     "salted_join",
     "skew_salted_join",

@@ -1,0 +1,109 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication").
+
+The operator the paper runs over web corpora before LLM training:
+embed every document, coarse-cluster the embeddings (k-means), and
+inside each cluster drop all but one member of every epsilon-ball
+(cosine >= threshold). The quadratic comparison is confined to a
+cluster — that bound is the entire scale story, and the cluster count
+is the provisioning knob (the paper used ~110k clusters at LAION
+scale; here the frozen 24-centroid quantizer matches the fixture
+corpus, see ops/semdedup_frozen.py).
+
+Composition: vectors come from ops.embeddings.embed_corpus (raw text
+-> feature-hashed integer vectors, zero-shuffle), the cluster
+assignment broadcasts the frozen centroids (map-side, one row_number
+window keyed by id), and the within-cluster pass is a self-join on the
+cluster id — one shuffle whose largest key is a CLUSTER, never the
+corpus. Representative choice is deterministic: a document is dropped
+iff some LOWER-id document in its cluster sits within the epsilon-ball
+(the survivor of every ball chain is its minimum id — no iterative
+connected components needed, so the whole op is closed-form SQL and
+carries a full DuckDB value-hash twin).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .embeddings import DEFAULT_DIM, embed_corpus
+from .similarity import _as_double, cosine, round6
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid, v): nearest-centroid assignment against broadcast
+    literals — ties broken on the smaller centroid id, exactly as the
+    SQL twin's (cos desc, cid asc) ordering."""
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(centroids)],
+        "cid long, centv array<double>",
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        emb.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("v")
+        )
+        .crossJoin(F.broadcast(cents))
+        .withColumn("csim", round6(cosine(F.col("v"), F.col("centv"))))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col(id_col), "cid", "v")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+) -> DataFrame:
+    """(id, cid, max_sim_lower, kept): per-document SemDeDup decision.
+
+    ``max_sim_lower`` is the document's highest cosine to any LOWER-id
+    member of its cluster (-1.0 when it is the cluster's minimum id);
+    ``kept`` is false iff that neighbor is inside the epsilon-ball
+    (cosine >= threshold). Downstream keeps ``where kept`` rows; the
+    drop mass per cluster is the curation report's input.
+    """
+    emb = embed_corpus(df, id_col=id_col, text_col=text_col, dim=dim)
+    assign = assign_clusters(emb, centroids, id_col=id_col)
+    a = assign.select(
+        F.col(id_col), F.col("cid"), F.col("v")
+    )
+    b = assign.select(
+        F.col("cid"),
+        F.col(id_col).alias("_oid"),
+        F.col("v").alias("_ov"),
+    )
+    sims = (
+        a.join(b, "cid")
+        .where(F.col("_oid") < F.col(id_col))
+        .withColumn("_cos", round6(cosine(F.col("v"), F.col("_ov"))))
+        .groupBy(id_col, "cid")
+        .agg(F.max("_cos").alias("max_sim_lower"))
+    )
+    return (
+        assign.select(id_col, "cid")
+        .join(sims.select(id_col, "max_sim_lower"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cid"),
+            F.coalesce(F.col("max_sim_lower"), F.lit(-1.0)).alias(
+                "max_sim_lower"
+            ),
+            (
+                F.coalesce(F.col("max_sim_lower"), F.lit(-1.0))
+                < F.lit(threshold)
+            ).alias("kept"),
+        )
+    )

@@ -103,3 +103,40 @@ def test_embed_plan_is_shuffle_free(spark, docs):
     plan = E.embed_corpus(docs, dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero-shuffle map-only op
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_semantic_dedup_drops_epsilon_ball_non_minimum(spark):
+    from globalign_spark.ops import semdedup
+    from globalign_spark.ops.semdedup_frozen import SEMDEDUP_CENTROIDS
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (4, "completely different content about spark engines and rows"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in semdedup.semantic_dedup(
+            df, SEMDEDUP_CENTROIDS, threshold=0.95
+        ).collect()
+    }
+    # identical texts share a cluster; only the minimum id survives
+    assert out[1].cid == out[2].cid == out[3].cid
+    assert out[1].kept and out[1].max_sim_lower == -1.0
+    assert not out[2].kept and out[2].max_sim_lower == 1.0
+    assert not out[3].kept and out[3].max_sim_lower == 1.0
+    assert out[4].kept  # nothing similar below its id
+
+
+def test_semantic_dedup_shuffle_keyed_by_cluster(spark):
+    from globalign_spark.ops import semdedup
+    from globalign_spark.ops.semdedup_frozen import SEMDEDUP_CENTROIDS
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = semdedup.semantic_dedup(d, SEMDEDUP_CENTROIDS)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    n = out.count()
+    assert n == d.count()  # one decision row per document

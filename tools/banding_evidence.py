@@ -140,7 +140,14 @@ def main() -> None:
         else REPO / "BENCH" / "r4" / f"banding_evidence_{n_entities}.json"
     )
     workdir = f"/tmp/banding_evidence_{n_entities}"
-    spark = get_spark("banding-evidence")
+    # partition count scales with the corpus so the 95M+-pair metric
+    # aggregations at 1M pages fit execution memory per-task (the same
+    # rule a cluster submit would apply); 64 was measured OOMing at 526k
+    # entities under concurrent load.
+    spark = get_spark(
+        "banding-evidence",
+        shuffle_partitions=max(64, n_entities // 2000),
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.time()
