@@ -123,9 +123,13 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     fails = 0
-    for name, fn in qs.items():
-        if only and name not in only:
-            continue
+    # argv order is respected so a long gate can be sequenced
+    # light-queries-first (the artifact fills up even if the run is cut)
+    ordered = (
+        [(n, qs[n]) for n in sys.argv[2:] if n in qs]
+        if only else list(qs.items())
+    )
+    for name, fn in ordered:
         t0 = time.time()
         try:
             msg = compare(name, fn(spark, sf_dir), oracles.get(name), con)
