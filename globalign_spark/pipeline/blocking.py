@@ -631,7 +631,7 @@ def choose_banding(
     dup_threshold: float = 0.25,
     probe_cap: int = 2000,
     bg_anchors: int = 64,
-    bucket_cap: int = 2000,
+    bucket_cap: int = 500,
     rows_options: tuple[int, ...] = (2, 3, 4),
     bg_cap: float = 0.4,
     n_docs: int | None = None,
@@ -704,6 +704,16 @@ def choose_banding(
         .agg(F.count("*").alias("bsz"))
     )
     ok_keys = sizes.where(F.col("bsz") <= bucket_cap).drop("bsz")
+    # The probe-collision volume is bounded by probe_cap * est_bands *
+    # bucket_cap, but its distinct's hash maps carry two url strings per
+    # entry — at 1M docs the session-default partition count left ~500 MB
+    # of aggregation state per concurrent task and exhausted the unified
+    # pool (measured UNABLE_TO_ACQUIRE at 526k entities). Partition the
+    # distinct wide enough that per-task state stays tens of MB
+    # regardless of the session default.
+    dedup_parts = max(
+        sigs.sparkSession.sparkContext.defaultParallelism * 32, 256
+    )
     raw = (
         bands.join(F.broadcast(
             probe_bands.join(ok_keys, ["band_id", "band_hash"])
@@ -711,6 +721,7 @@ def choose_banding(
         ), ["band_id", "band_hash"])
         .where(F.col("_id") != F.col("id_1"))
         .select("id_1", F.col("_id").alias("id_2"))
+        .repartition(dedup_parts, "id_1", "id_2")
         .distinct()
     )
     caches: list = []
