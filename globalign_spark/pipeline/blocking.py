@@ -627,6 +627,9 @@ def _select_banding(
 def choose_banding(
     sig_df: DataFrame,
     num_perm: int,
+    norm_df: DataFrame | None = None,
+    id_col: str = "url",
+    text_col: str = "norm_text",
     target_completeness: float = 0.95,
     dup_threshold: float = 0.25,
     probe_cap: int = 2000,
@@ -635,6 +638,9 @@ def choose_banding(
     rows_options: tuple[int, ...] = (2, 3, 4),
     bg_cap: float = 0.4,
     n_docs: int | None = None,
+    params=None,
+    confirm_threshold: float = 0.8,
+    align_top_k: int = 5000,
 ) -> BandingPlan:
     """Data-driven (rows_per_band, num_bands) from the corpus itself.
 
@@ -648,24 +654,30 @@ def choose_banding(
          Jaccard is estimated by the shared 15-bit signature estimator,
          and the estimates are binned to 2 dp (the collect is <= 101
          bin counts, never rows).
-      3. BACKGROUND HISTOGRAM + SUBTRACTION: probe x ``bg_anchors`` fixed
-         anchor docs (broadcast cross join, <= probe_cap * bg_anchors
-         pairs) estimate the UNCONDITIONAL random-pair Jaccard
-         distribution. Near the screen floor the probe collisions are
-         dominated by background pairs (their est-Jaccard overlaps the
-         truth tail, and there are n^2/2 of them) — using the raw
-         collision histogram as "truth" would provision bands for junk.
-         So the truth histogram is the EXCESS over background: per bin,
-         observed collisions minus the background mass expected to
-         collide there (bg density x probe-pair universe x the est
-         banding's catch probability), clamped at zero. Bins below
+      3. ALIGNMENT CONFIRMATION: probe collisions at or above
          ``dup_threshold`` (the pipeline's signature-screen floor —
-         pairs under it are screened out even when banding catches them)
-         are excluded outright.
-      4. ``_select_banding`` picks the cheapest config meeting the
-         completeness target within the ``num_perm`` width budget,
-         pricing each config's collision mass on the background
-         histogram.
+         pairs under it are screened out even when banding catches
+         them) are scored by the engine's OWN alignment kernel
+         (``scoring.score_pairs``, Myers fast path, banded at
+         ``confirm_threshold``); pairs whose normalized similarity
+         clears the pipeline's edge threshold are truth, everything
+         else is junk. The truth histogram is the est-Jaccard
+         distribution of the CONFIRMED pairs. This label source is
+         scale-stable: an earlier excess-over-background estimator
+         (statistical subtraction) broke down at 1M pages because the
+         expected-background term grows with n_docs while the probe's
+         truth signal does not — the thickening low-Jaccard truth tail
+         vanished into the subtraction and the chooser under-provisioned
+         (measured: predicted 0.95, delivered 0.85). Alignment labels
+         cost one bounded kernel batch (<= probe_cap * align_top_k
+         pairs, per-probe top-k by estimate) and have ~unit precision at
+         the 0.8 threshold, so no subtraction is needed.
+      4. BACKGROUND HISTOGRAM: probe x ``bg_anchors`` fixed anchor docs
+         (broadcast cross join, <= probe_cap * bg_anchors pairs)
+         estimate the UNCONDITIONAL random-pair Jaccard distribution,
+         which prices each config's collision mass.
+      5. ``_select_banding`` picks the cheapest config meeting the
+         completeness target within the ``num_perm`` width budget.
 
     The width budget IS ``num_perm``: signatures are computed once at the
     configured width and banding uses a prefix, so adaptivity costs
@@ -726,9 +738,56 @@ def choose_banding(
     )
     caches: list = []
     est = _pair_est_jaccard(raw, sigs, num_perm, caches, n_docs=n_docs)
-    obs_hist = {
+    cand = est.where(F.col("_est_j") >= dup_threshold)
+    if align_top_k > 0:
+        wtk = Window.partitionBy("id_1").orderBy(
+            F.col("_est_j").desc(), F.col("id_2")
+        )
+        cand = (
+            cand.withColumn("_rk", F.row_number().over(wtk))
+            .where(F.col("_rk") <= align_top_k)
+            .drop("_rk")
+        )
+    if norm_df is None:
+        raise ValueError(
+            "choose_banding needs norm_df (id, text) to alignment-confirm "
+            "the probe pairs"
+        )
+    from ..config import unit_cost_params
+    from .scoring import score_pairs, with_similarity
+
+    t = norm_df.select(
+        F.col(id_col).alias("_jid"), F.col(text_col).alias("_jtext")
+    )
+    pairs_with_text = (
+        cand.join(t.withColumnRenamed("_jid", "id_1"), "id_1")
+        .withColumnRenamed("_jtext", "text_1")
+        .join(
+            t.withColumnRenamed("_jid", "id_2")
+            .withColumnRenamed("_jtext", "text_2"),
+            "id_2",
+        )
+        .repartition(
+            sigs.sparkSession.sparkContext.defaultParallelism * 2,
+            F.xxhash64("id_1", "id_2"),
+        )
+    )
+    scored = with_similarity(
+        score_pairs(
+            pairs_with_text,
+            params or unit_cost_params(),
+            sim_threshold=confirm_threshold,
+        )
+    )
+    confirmed = scored.where(
+        (~F.col("oversize"))
+        & (F.col("similarity") >= confirm_threshold)
+    )
+    truth_hist = {
         float(r["b"]): float(r["count"])
-        for r in est.groupBy(F.round("_est_j", 2).alias("b")).count().collect()
+        for r in confirmed.groupBy(
+            F.round("_est_j", 2).alias("b")
+        ).count().collect()
     }
     for frame in caches:
         frame.unpersist()
@@ -758,26 +817,6 @@ def choose_banding(
         for r in bg_pairs.groupBy(F.round("_est_j", 2).alias("b"))
         .count().collect()
     }
-    n_bg = sum(bg_hist.values())
-    if n_docs is None:
-        n_docs = sigs.count()
-    n_probes = min(probe_cap, n_docs)
-
-    # Background subtraction (docstring step 3): observed collisions per
-    # bin minus the background mass expected to collide there.
-    bg_scale = (n_probes * max(n_docs - 1, 1)) / max(n_bg, 1.0)
-    truth_hist: dict[float, float] = {}
-    for b, c in obs_hist.items():
-        if b < dup_threshold:
-            continue
-        expected_bg = (
-            bg_hist.get(b, 0.0) * bg_scale
-            * banding_catch_prob(b, 2, est_bands)
-        )
-        excess = c - expected_bg
-        if excess > 0:
-            truth_hist[b] = excess
-
     return _select_banding(
         truth_hist, bg_hist, target_completeness, num_perm,
         rows_options=rows_options, bg_cap=bg_cap,

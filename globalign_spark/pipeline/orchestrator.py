@@ -275,9 +275,12 @@ def run_pipeline(
         if cfg.auto_banding:
             plan = blocking.choose_banding(
                 sig, cfg.num_perm,
+                norm_df=norm, id_col="url", text_col="norm_text",
                 target_completeness=cfg.auto_banding_target,
                 dup_threshold=max(cfg.est_jaccard_floor, 0.25),
                 n_docs=n_docs,
+                params=cfg.params,
+                confirm_threshold=cfg.similarity_threshold,
             )
             num_bands = plan.num_bands
             band_width = plan.num_perm

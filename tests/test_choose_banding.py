@@ -89,7 +89,7 @@ def test_choose_banding_on_fixture_corpus(spark):
         norm, id_col="url", text_col="norm_text", shingle_k=5, num_perm=126
     )
     plan = blocking.choose_banding(
-        sig, 126, target_completeness=0.9, probe_cap=500
+        sig, 126, norm_df=norm, target_completeness=0.9, probe_cap=500
     )
     d = plan.as_dict()
     # the fixture corpus's near-dups live at Jaccard ~0.35-0.9: a real

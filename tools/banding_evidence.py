@@ -60,7 +60,9 @@ def run_arm(spark, norm, truth, n_docs, *, num_perm, num_bands=None,
     if auto:
         t0 = time.time()
         plan = blocking.choose_banding(
-            sig, num_perm, target_completeness=TARGET, n_docs=n_docs
+            sig, num_perm, norm_df=norm, id_col="url",
+            text_col="norm_text", target_completeness=TARGET,
+            n_docs=n_docs,
         )
         out["plan"] = plan.as_dict()
         out["choose_banding_sec"] = round(time.time() - t0, 1)
