@@ -118,6 +118,9 @@ def main():
         "oracle-check",
         master=os.environ.get("CHECK_MASTER", "local[8]"),
         shuffle_partitions=8,
+        # gen-sf1 result sets (6M+ pair rows) exceed the 1g default when
+        # the compare pulls them to the driver
+        extra_conf={"spark.driver.maxResultSize": "8g"},
     )
     con = duck_conn(sf_dir)
     qs = entry.queries()
