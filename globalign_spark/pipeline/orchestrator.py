@@ -281,6 +281,7 @@ def run_pipeline(
                 n_docs=n_docs,
                 params=cfg.params,
                 confirm_threshold=cfg.similarity_threshold,
+                prod_bucket_cap=cfg.bucket_cap,
             )
             num_bands = plan.num_bands
             band_width = plan.num_perm
