@@ -26,7 +26,8 @@ QUERIES = [
     "agg_lineitem", "join_topk", "corpus_curation", "er_incremental",
     "blocking_quality", "cluster_purity", "multi_join", "skew_salted_join",
     "repetition", "line_dedup", "url_dedup", "dup_spans", "pii_redact",
-    "corpus_stats",
+    "corpus_stats", "embed_corpus", "embed_near_dup_text", "ann_text_topk",
+    "semantic_dedup",
 ]
 
 
