@@ -413,12 +413,19 @@ def pairs_from_band_rows(
 
 
 def simhash32(text: Column) -> Column:
-    """32-bit SimHash from whitespace tokens.
+    """32-bit SimHash from whitespace tokens; NULL for token-less text.
 
     Bit i of a token's hash = (i-th hex nibble of md5(token)) >= 8 — i.e.
     the high bit of each nibble, 32 bits total. Document bit i is set when
     the sum over tokens of (+1/-1) votes is positive. Pure string/bit
     built-ins; identical in DuckDB SQL.
+
+    A document with NO tokens has no content to vote with: emitting the
+    all-zero hash would park every empty page in block 0 and pair it with
+    whatever legitimately hashes near zero (found for real at gen-sf1,
+    where truncation variants of the shortest docs go empty and Spark
+    emitted 136 phantom pairs the SQL twin — whose unnest drops empty
+    docs — never produced). NULL instead; the near-pair join excludes it.
     """
     toks = F.filter(F.split(text, " "), lambda t: t != "")
     hashes = F.transform(toks, lambda t: F.md5(t))
@@ -444,7 +451,7 @@ def simhash32(text: Column) -> Column:
             lambda a, v: a + v,
         ),
     )
-    return F.aggregate(
+    sh = F.aggregate(
         F.zip_with(
             votes,
             F.sequence(F.lit(0), F.lit(31)),
@@ -456,6 +463,7 @@ def simhash32(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    return F.when(F.size(toks) > 0, sh).otherwise(F.lit(None).cast("long"))
 
 
 def add_simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -491,7 +499,7 @@ def simhash_near_pairs(
     # at the first action, then is reused by every branch); pass
     # materialize=False to keep full lineage (e.g. under dynamic
     # allocation, where checkpointed blocks die with their executor).
-    blocked = with_sim.select(
+    blocked = with_sim.where(F.col("simhash").isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col("simhash"),
         F.shiftright("simhash", 16).alias("blk"),

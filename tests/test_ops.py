@@ -48,6 +48,26 @@ def test_simhash_properties(docs):
     assert all(0 <= v < (1 << 32) for v in sh.values())
 
 
+def test_simhash_empty_text_is_null_and_excluded(spark):
+    rows = [
+        (1, "some real content here", "a"),
+        (2, "", "a"),          # token-less: must not hash to block 0
+        (3, "   ", "a"),       # whitespace-only likewise
+        (4, "some real content here", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    sh = {r.doc_id: r.simhash for r in dedup.add_simhash(df).collect()}
+    assert sh[2] is None and sh[3] is None
+    assert sh[1] == sh[4] is not None
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in dedup.simhash_near_pairs(
+            dedup.add_simhash(df), max_hamming=6
+        ).collect()
+    }
+    assert pairs == {(1, 4)}  # empty docs pair with nothing
+
+
 def test_ngram_jaccard(docs):
     out = {
         (r.id_1, r.id_2): r.jaccard
