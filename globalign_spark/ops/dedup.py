@@ -499,13 +499,20 @@ def simhash_near_pairs(
     # at the first action, then is reused by every branch); pass
     # materialize=False to keep full lineage (e.g. under dynamic
     # allocation, where checkpointed blocks die with their executor).
-    blocked = with_sim.where(F.col("simhash").isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.col("simhash"),
-        F.shiftright("simhash", 16).alias("blk"),
-    )
+    # Project FIRST, filter the NULL guard AFTER the checkpoint: a
+    # `.where(simhash IS NOT NULL)` below the projection puts the vote-fold
+    # in BOTH a Filter and a Project operator, and cross-operator
+    # subexpression elimination does not cover interpreted higher-order
+    # functions — the costliest expression in the query evaluated twice per
+    # row (the round-4 2x regression). Post-checkpoint, `simhash` is a
+    # materialized column and the filter is a cheap null check the
+    # optimizer cannot push back through the checkpoint barrier.
+    blocked = with_sim.select(F.col(id_col).alias("id"), F.col("simhash"))
     if materialize:
         blocked = blocked.localCheckpoint(eager=False)
+    blocked = blocked.where(F.col("simhash").isNotNull()).withColumn(
+        "blk", F.shiftright("simhash", 16)
+    )
     sizes = blocked.groupBy("blk").agg(F.count("*").alias("bsz"))
     ok = blocked.join(sizes.where(F.col("bsz") <= bucket_cap).drop("bsz"), "blk")
     a = ok.select(F.col("id").alias("id_1"), F.col("simhash").alias("s1"), "blk")

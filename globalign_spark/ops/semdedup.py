@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .embeddings import DEFAULT_DIM, embed_corpus
-from .similarity import _as_double, cosine, round6
+from .similarity import _as_double, cosine_pre, norm, round6
 
 
 def assign_clusters(
@@ -38,24 +38,35 @@ def assign_clusters(
     id_col: str = "doc_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, cid, v): nearest-centroid assignment against broadcast
+    """(id, cid, v, vn): nearest-centroid assignment against broadcast
     literals — ties broken on the smaller centroid id, exactly as the
-    SQL twin's (cos desc, cid asc) ordering."""
+    SQL twin's (cos desc, cid asc) ordering. ``vn`` is the row's vector
+    norm, folded once here (below the centroid crossJoin, so it is NOT
+    recomputed per centroid) and carried so the downstream within-cluster
+    pair pass never folds a norm per pair."""
     spark = emb.sparkSession
     cents = spark.createDataFrame(
         [(i, v) for i, v in enumerate(centroids)],
         "cid long, centv array<double>",
-    )
+    ).withColumn("centn", norm(F.col("centv")))
     w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
     return (
         emb.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("v")
         )
+        .withColumn("vn", norm(F.col("v")))
         .crossJoin(F.broadcast(cents))
-        .withColumn("csim", round6(cosine(F.col("v"), F.col("centv"))))
+        .withColumn(
+            "csim",
+            round6(
+                cosine_pre(
+                    F.col("v"), F.col("centv"), F.col("vn"), F.col("centn")
+                )
+            ),
+        )
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(F.col(id_col), "cid", "v")
+        .select(F.col(id_col), "cid", "v", "vn")
     )
 
 
@@ -77,18 +88,31 @@ def semantic_dedup(
     """
     emb = embed_corpus(df, id_col=id_col, text_col=text_col, dim=dim)
     assign = assign_clusters(emb, centroids, id_col=id_col)
-    a = assign.select(
-        F.col(id_col), F.col("cid"), F.col("v")
-    )
+    # `assign` (per-token embed fold + 24-centroid crossJoin + row_number
+    # window) feeds THREE plan branches: both self-join sides and the final
+    # keep/drop join. Per the measured materialization rule (see
+    # ops/dedup.py) an expensive subtree with >=2 readers is checkpointed
+    # once — without this the whole assignment pipeline ran 3x (VERDICT r4
+    # finding 4). eager=False keeps construction job-free.
+    assign = assign.localCheckpoint(eager=False)
+    a = assign.select(F.col(id_col), F.col("cid"), F.col("v"), F.col("vn"))
     b = assign.select(
         F.col("cid"),
         F.col(id_col).alias("_oid"),
         F.col("v").alias("_ov"),
+        F.col("vn").alias("_ovn"),
     )
     sims = (
         a.join(b, "cid")
         .where(F.col("_oid") < F.col(id_col))
-        .withColumn("_cos", round6(cosine(F.col("v"), F.col("_ov"))))
+        .withColumn(
+            "_cos",
+            round6(
+                cosine_pre(
+                    F.col("v"), F.col("_ov"), F.col("vn"), F.col("_ovn")
+                )
+            ),
+        )
         .groupBy(id_col, "cid")
         .agg(F.max("_cos").alias("max_sim_lower"))
     )
