@@ -573,6 +573,22 @@ def _select_banding(
     (29 over-cap buckets at 5k entities -> 8k at 400k).
     """
     t_mass = sum(truth_hist.values())
+
+    def _fallback(reason: str) -> BandingPlan:
+        # Clamp the default to the signature budget: with num_perm < 126
+        # the unclamped (3, 42) default's band_width (126) exceeds the
+        # signature length, and every out-of-range band slices to the SAME
+        # empty array — corpus-wide degenerate buckets (ADVICE r4). The
+        # plan must never promise more permutations than the signatures
+        # carry.
+        r, b = default
+        r = min(r, max_perm) if max_perm >= 1 else r
+        b = max(1, min(b, max_perm // r))
+        return BandingPlan(
+            r, b, chosen_by=reason,
+            predicted_completeness=None, predicted_bg_rate=None, **base,
+        )
+
     base = {
         "truth_mass": round(t_mass, 1),
         "bg_mass": round(sum(bg_hist.values()), 1),
@@ -587,11 +603,7 @@ def _select_banding(
         },
     }
     if t_mass < min_truth_mass:
-        r, b = default
-        return BandingPlan(
-            r, b, chosen_by="fallback-insufficient-truth-mass",
-            predicted_completeness=None, predicted_bg_rate=None, **base,
-        )
+        return _fallback("fallback-insufficient-truth-mass")
     t = np.clip(np.array(list(truth_hist), dtype=np.float64), 0.0, 1.0)
     tw = np.array(list(truth_hist.values()), dtype=np.float64)
     tw = tw / tw.sum()
@@ -619,23 +631,25 @@ def _select_banding(
                 best_effort = (comp, bg, r, b)
     if candidates:
         bg, _, _, r, b, comp = min(candidates)
-        return BandingPlan(
+        plan = BandingPlan(
             r, b, chosen_by="target-met-min-bg",
             predicted_completeness=round(comp, 4),
             predicted_bg_rate=round(bg, 4), **base,
         )
-    if best_effort is not None:
+    elif best_effort is not None:
         comp, bg, r, b = best_effort
-        return BandingPlan(
+        plan = BandingPlan(
             r, b, chosen_by="best-effort-target-unreachable-in-width",
             predicted_completeness=round(comp, 4),
             predicted_bg_rate=round(bg, 4), **base,
         )
-    r, b = default
-    return BandingPlan(
-        r, b, chosen_by="fallback-no-affordable-config",
-        predicted_completeness=None, predicted_bg_rate=None, **base,
+    else:
+        plan = _fallback("fallback-no-affordable-config")
+    assert plan.num_perm <= max_perm, (
+        f"banding plan {plan.rows_per_band}x{plan.num_bands} exceeds the "
+        f"signature budget max_perm={max_perm}"
     )
+    return plan
 
 
 def choose_banding(
@@ -751,6 +765,24 @@ def choose_banding(
         .repartition(dedup_parts, "id_1", "id_2")
         .distinct()
     )
+    # A truth pair whose BOTH members are probes survives the distinct
+    # twice — once per orientation (id_1 is always the probe side) — and
+    # would be double-weighted in the truth histogram, a measurable bias
+    # when probe_cap is a large corpus fraction (ADVICE r4). Keep only the
+    # id_1 < id_2 orientation of probe-probe pairs.
+    raw = (
+        raw.join(
+            F.broadcast(
+                probe.select(
+                    F.col("_id").alias("id_2"), F.lit(True).alias("_p2")
+                )
+            ),
+            "id_2",
+            "left",
+        )
+        .where(F.col("_p2").isNull() | (F.col("id_1") < F.col("id_2")))
+        .drop("_p2")
+    )
     caches: list = []
     est = _pair_est_jaccard(raw, sigs, num_perm, caches, n_docs=n_docs)
     cand = est.where(F.col("_est_j") >= dup_threshold)
@@ -794,10 +826,16 @@ def choose_banding(
             sim_threshold=confirm_threshold,
         )
     )
+    # persist(), not localCheckpoint(): both frames below are released at
+    # the end of this function — a localCheckpoint's blocks are not
+    # reachable from DataFrame.unpersist(), so each auto-banding call in a
+    # long session would permanently hold block-manager storage (ADVICE
+    # r4). The frames are bounded (<= confirmed probe collisions), so
+    # keeping lineage costs nothing.
     confirmed = scored.where(
         (~F.col("oversize"))
         & (F.col("similarity") >= confirm_threshold)
-    ).select("id_1", "id_2", "_est_j").localCheckpoint()
+    ).select("id_1", "id_2", "_est_j").persist()
     truth_hist = {
         float(r["b"]): float(r["count"])
         for r in confirmed.groupBy(
@@ -825,7 +863,7 @@ def choose_banding(
         F.col("_id").alias("id_2"), F.col("signature").alias("_s2")
     )
     with_sigs = (
-        confirmed.join(s_w, "id_1").join(s_w2, "id_2").localCheckpoint()
+        confirmed.join(s_w, "id_1").join(s_w2, "id_2").persist()
     )
     cap_survival: dict[int, float] = {}
     for r in rows_options:
@@ -901,6 +939,8 @@ def choose_banding(
         for r in bg_pairs.groupBy(F.round("_est_j", 2).alias("b"))
         .count().collect()
     }
+    confirmed.unpersist()
+    with_sigs.unpersist()
     return _select_banding(
         truth_hist, bg_hist, target_completeness, num_perm,
         rows_options=rows_options, bg_cap=bg_cap,

@@ -280,49 +280,57 @@ def stream_incremental_er(
         # crawl scale. Cache once, release at the end of the trigger.
         batch = batch.persist()
 
-        # One signature pass per document, in the batch that delivers it;
-        # checkpointed because the rows feed both the probe and the
-        # bands-state write below.
-        new_bands = dedup.lsh_band_rows(
-            batch, id_col, text_col, k, num_perm, num_bands
-        ).localCheckpoint()
-        cand = incremental_candidates_from_bands(
-            old_bands if old_bands is not None else new_bands.limit(0),
-            new_bands, bucket_cap=bucket_cap,
-        )
-        if edge_fn is not None:
-            doc_dirs = _versions("docs", batch_id)
-            corpus = batch.withColumn("is_new", F.lit(True))
-            if doc_dirs:
-                corpus = (
-                    spark.read.parquet(*[str(p) for p in doc_dirs])
-                    .withColumn("is_new", F.lit(False))
-                    .unionByName(corpus)
-                )
-            edges = edge_fn(corpus, cand)
-        else:
-            edges = cand.select("id_1", "id_2")
-        if old_assign is None:
-            from globalign_spark.pipeline.clustering import (
-                connected_components,
+        # try/finally: an exception anywhere in the trigger body (e.g. a
+        # failed parquet write) must still release the cached batch —
+        # foreachBatch RETRIES the trigger, and a leak per retry
+        # accumulates dead cached partitions over a long-lived stream
+        # (ADVICE r4).
+        try:
+            # One signature pass per document, in the batch that delivers
+            # it; checkpointed because the rows feed both the probe and
+            # the bands-state write below.
+            new_bands = dedup.lsh_band_rows(
+                batch, id_col, text_col, k, num_perm, num_bands
+            ).localCheckpoint()
+            cand = incremental_candidates_from_bands(
+                old_bands if old_bands is not None else new_bands.limit(0),
+                new_bands, bucket_cap=bucket_cap,
             )
+            if edge_fn is not None:
+                doc_dirs = _versions("docs", batch_id)
+                corpus = batch.withColumn("is_new", F.lit(True))
+                if doc_dirs:
+                    corpus = (
+                        spark.read.parquet(*[str(p) for p in doc_dirs])
+                        .withColumn("is_new", F.lit(False))
+                        .unionByName(corpus)
+                    )
+                edges = edge_fn(corpus, cand)
+            else:
+                edges = cand.select("id_1", "id_2")
+            if old_assign is None:
+                from globalign_spark.pipeline.clustering import (
+                    connected_components,
+                )
 
-            assign = connected_components(
-                edges, src="id_1", dst="id_2"
-            ).select(F.col("id"), F.col("component"))
-        else:
-            assign = incremental_components(old_assign, edges)
-        # batch_id-keyed writes: idempotent under foreachBatch re-delivery
-        assign.write.mode("overwrite").parquet(
-            str(root / "assign" / f"v{batch_id}")
-        )
-        batch.write.mode("overwrite").parquet(
-            str(root / "docs" / f"v{batch_id}")
-        )
-        new_bands.write.mode("overwrite").parquet(
-            str(root / "bands" / f"v{batch_id}")
-        )
-        batch.unpersist()
+                assign = connected_components(
+                    edges, src="id_1", dst="id_2"
+                ).select(F.col("id"), F.col("component"))
+            else:
+                assign = incremental_components(old_assign, edges)
+            # batch_id-keyed writes: idempotent under foreachBatch
+            # re-delivery
+            assign.write.mode("overwrite").parquet(
+                str(root / "assign" / f"v{batch_id}")
+            )
+            batch.write.mode("overwrite").parquet(
+                str(root / "docs" / f"v{batch_id}")
+            )
+            new_bands.write.mode("overwrite").parquet(
+                str(root / "bands" / f"v{batch_id}")
+            )
+        finally:
+            batch.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)

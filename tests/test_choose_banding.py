@@ -66,6 +66,24 @@ def test_select_fallback_on_thin_truth():
     assert (plan.rows_per_band, plan.num_bands) == (3, 42)
 
 
+def test_select_fallback_clamps_to_narrow_budget():
+    """ADVICE r4: with num_perm < 126 the unclamped (3, 42) default would
+    slice bands past the signature end — every out-of-range band hashes the
+    same empty slice, i.e. corpus-wide degenerate buckets."""
+    plan = _select_banding({0.5: 3.0}, {0.2: 100.0}, 0.95, max_perm=64)
+    assert plan.evidence["chosen_by"] == "fallback-insufficient-truth-mass"
+    assert plan.num_perm <= 64
+    assert (plan.rows_per_band, plan.num_bands) == (3, 21)
+    # every other path honours the budget too
+    met = _select_banding({0.45: 100.0}, {0.15: 900.0}, 0.95, max_perm=64)
+    assert met.num_perm <= 64
+    # no-affordable-config fallback (bg saturates every width) also clamps
+    hard = _select_banding(
+        {0.05: 100.0}, {0.9: 1000.0}, 0.999, max_perm=64, bg_cap=0.0001
+    )
+    assert hard.num_perm <= 64
+
+
 def test_select_widens_for_low_floor():
     easy = _select_banding({0.5: 100.0}, {0.15: 1000.0}, 0.95, max_perm=252)
     hard = _select_banding(

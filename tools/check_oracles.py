@@ -40,7 +40,10 @@ def canon(df: pd.DataFrame, sort: bool = True) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            # + 0.0 normalizes -0.0 to 0.0 (they hash differently in
+            # hash_pandas_object, so the multiset-hash path would report
+            # a false mismatch the frame-equal path tolerates; ADVICE r4).
+            df[c] = df[c].round(6) + 0.0
         elif isinstance(df[c].dtype, pd.DatetimeTZDtype) or pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
     if not sort:
