@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_DIM = 64
 
@@ -104,15 +105,37 @@ def embed_corpus(
     n: int = 1,
     out_col: str = "embedding",
     keep_cols: tuple[str, ...] = (),
+    impl: str = "expr",
 ) -> DataFrame:
     """(id, embedding array<long>, n_tokens, *keep_cols) — the corpus-wide
     embed pass.
 
-    Plain ``df.select`` — partitioning, ordering and row count are
+    Plain per-row map — partitioning, ordering and row count are
     untouched, so this composes into any downstream block/join without
     adding an exchange; ``keep_cols`` carries block keys (host, source)
     through without a join-back.
+
+    ``impl`` picks the execution strategy; both produce BIT-IDENTICAL
+    integer vectors (pytest-asserted element-for-element):
+
+    - ``"expr"``: the pure column-expression fold above — the SQL-oracle
+      twin, zero Python. Its per-token cost is O(dim) with a dim-element
+      array copy per token (the fold rebuilds the accumulator), so it is
+      the right default only while ``dim`` stays small (~64, the oracle
+      fixture width). At dim=768 the fold does ~12x the work of dim=64 —
+      a constant-factor sink, not a scale-shape problem (VERDICT r4).
+    - ``"arrow"``: Arrow-batched mapInPandas (same Python boundary as the
+      alignment kernel): one md5 per token + a vectorized
+      ``np.add.at`` scatter-add per document, O(tokens + dim) per row
+      regardless of dim. The production path at realistic embedding
+      widths (256/768); measured in BENCH/r5/embed_dims.json.
     """
+    if impl == "arrow":
+        return _embed_corpus_arrow(
+            df, id_col, text_col, dim, n, out_col, keep_cols
+        )
+    if impl != "expr":
+        raise ValueError(f"impl must be 'expr' or 'arrow', got {impl!r}")
     toks = tokens_of(F.col(text_col))
     return df.select(
         F.col(id_col).alias(id_col),
@@ -120,6 +143,90 @@ def embed_corpus(
         F.size(toks).cast("long").alias("n_tokens"),
         *[F.col(c) for c in keep_cols],
     )
+
+
+# Java's \s ([ \t\n\x0B\f\r]) — NOT Python's Unicode-aware \s: the arrow
+# path must tokenize exactly as the Spark expression twin does, or a
+# \xa0-separated page would embed differently per path.
+_JAVA_WS = "[ \t\n\x0b\x0c\r]+"
+
+
+def _embed_corpus_arrow(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int,
+    n: int,
+    out_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Arrow-batched scatter-add embed (see :func:`embed_corpus` docstring).
+
+    Per Arrow batch: Java-regex-equivalent tokenization, word n-grams,
+    one md5 per gram (the same 48-bit prefix hash as :func:`hash48`),
+    then ``np.add.at(vec, (h >> 1) % dim, (h & 1) * 2 - 1)`` — the
+    whole dim-width accumulator is touched once per DOCUMENT, not once
+    per token."""
+    in_fields = {f.name: f for f in df.schema.fields}
+    out_schema = T.StructType(
+        [
+            in_fields[id_col],
+            T.StructField(out_col, T.ArrayType(T.LongType())),
+            T.StructField("n_tokens", T.LongType()),
+            *[in_fields[c] for c in keep_cols],
+        ]
+    )
+
+    def batches(it):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(_JAVA_WS)
+        for pdf in it:
+            embs: list = []
+            ntoks: list = []
+            for t in pdf[text_col]:
+                if t is None:
+                    embs.append(None)
+                    ntoks.append(None)
+                    continue
+                toks = [x for x in ws.split(t) if x != ""]
+                ntoks.append(len(toks))
+                if n == 1:
+                    grams = toks
+                elif len(toks) >= n:
+                    grams = [
+                        " ".join(toks[i : i + n])
+                        for i in range(len(toks) - n + 1)
+                    ]
+                else:
+                    grams = []
+                v = np.zeros(dim, dtype=np.int64)
+                if grams:
+                    hs = np.fromiter(
+                        (
+                            int(
+                                hashlib.md5(g.encode("utf-8")).hexdigest()[
+                                    :12
+                                ],
+                                16,
+                            )
+                            for g in grams
+                        ),
+                        dtype=np.int64,
+                        count=len(grams),
+                    )
+                    np.add.at(v, (hs >> 1) % dim, (hs & 1) * 2 - 1)
+                embs.append(v)
+            out = {id_col: pdf[id_col], out_col: embs, "n_tokens": ntoks}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=out_schema)
 
 
 def embed_sparse(
