@@ -61,11 +61,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rescue-top-k", type=int, default=50,
                    help="best-estimated-Jaccard partners kept per rescued"
                         " singleton (0 = unlimited)")
-    p.add_argument("--auto-banding", action="store_true",
+    p.add_argument("--auto-banding", action=argparse.BooleanOptionalAction,
+                   default=True,
                    help="derive (rows_per_band, num_bands) from the corpus's"
                         " measured truth-pair Jaccard histogram (num_perm"
                         " becomes the signature-width budget; the chosen plan"
-                        " is recorded in the s1_candidates manifest)")
+                        " is recorded in the s1_candidates manifest)."
+                        " DEFAULT on since round 5 (measured: 0.9356 vs"
+                        " 0.8984 completeness at 1M pages);"
+                        " --no-auto-banding restores the fixed plan")
     p.add_argument("--auto-banding-target", type=float, default=0.95,
                    help="blocking pair-completeness target for --auto-banding")
     p.add_argument("--text-from-html", action="store_true",

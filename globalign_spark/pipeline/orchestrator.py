@@ -110,8 +110,13 @@ class PipelineConfig:
     # fixed default is tuned at 50k entities; at 400k+ the truth tail
     # thickens near the Jaccard floor and fixed banding's completeness
     # decays (0.9266 at 400k -> 0.9002 at 1M) — auto mode re-provisions
-    # per corpus.
-    auto_banding: bool = False
+    # per corpus. DEFAULT since round 5: the measured A/B (BENCH/r4/
+    # SCALE_EVIDENCE.md) showed auto 0.9356 vs fixed 0.8984 completeness
+    # at 1M for a bounded provisioning cost (~140 s at 1M pages), and the
+    # chooser itself is probe-limited with histogram-sized collects. The
+    # chosen plan is recorded in the s1_candidates manifest as lineage;
+    # pass --no-auto-banding / auto_banding=False for the fixed 42x3 plan.
+    auto_banding: bool = True
     auto_banding_target: float = 0.95
     params: AlignParams = field(default_factory=unit_cost_params)
 

@@ -622,8 +622,11 @@ def test_singleton_rescue_recovers_missed_edges(spark, tmp_path):
     then asserts the rescue pass alone recovers the clusters."""
     pages = pages_df(spark, n_entities=120, seed=11)
     truth = labeled_pairs_df(pages)
+    # auto_banding=False: this test NEEDS the deliberately-bad fixed plan;
+    # the round-5 auto default would (correctly) re-provision it away.
     crippled = dict(
         num_perm=126, num_bands=2, sn_window=0, over_cap_window=0,
+        auto_banding=False,
     )
 
     cfg_off = PipelineConfig(
