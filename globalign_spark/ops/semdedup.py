@@ -29,7 +29,67 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .embeddings import DEFAULT_DIM, embed_corpus
-from .similarity import _as_double, cosine_pre, norm, round6
+from .similarity import _as_double, cosine_pre, kmeans_centroids, norm, round6
+
+
+def provision_cluster_count(
+    n_docs: int,
+    target_cluster_size: int = 500,
+    min_clusters: int = 8,
+    max_clusters: int = 200_000,
+) -> int:
+    """SemDeDup cluster-count provisioning rule: k = n_docs / target size.
+
+    The within-cluster pass is QUADRATIC in cluster size, so per-cluster
+    cost is held constant by scaling k linearly with the corpus — the
+    paper's own regime (Abbas et al. 2023 used ~110k clusters for LAION's
+    ~4e8 embeddings, i.e. a few thousand per cluster; this rule lands at
+    110k clusters for 55M docs at the default target, and the
+    ``max_clusters`` ceiling mirrors FAISS guidance that training k-means
+    much past sample_cap/39 points per centroid is wasteful). Cost model
+    per doc: assignment O(k) via the broadcast crossJoin + comparison
+    O(target_cluster_size); pick ``target_cluster_size`` where the two
+    terms balance for your k."""
+    return int(
+        min(max_clusters, max(min_clusters, round(n_docs / target_cluster_size)))
+    )
+
+
+def train_centroids(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    n_clusters: int | None = None,
+    target_cluster_size: int = 500,
+    sample_cap: int = 100_000,
+    iters: int = 5,
+) -> list[list[float]]:
+    """TRAIN stage of the SemDeDup train/assign split (same shape as the
+    IVF quantizer's): embed the corpus (zero-shuffle map), pull a bounded
+    deterministic sample (smallest ids, <= ``sample_cap`` rows — never a
+    driver bottleneck at any corpus size), run spherical k-means on it,
+    and return 6-dp-rounded centroid literals ready to broadcast into
+    :func:`assign_clusters` / :func:`semantic_dedup` — or to freeze as
+    constants (tools/freeze_semdedup_centroids.py) for bit-reproducible
+    oracle runs.
+
+    ``n_clusters`` defaults to :func:`provision_cluster_count` of the
+    corpus row count — the knob that keeps the within-cluster quadratic
+    bounded as the corpus grows."""
+    if n_clusters is None:
+        n_clusters = provision_cluster_count(
+            df.count(), target_cluster_size=target_cluster_size
+        )
+    emb = embed_corpus(df, id_col=id_col, text_col=text_col, dim=dim)
+    return kmeans_centroids(
+        emb,
+        id_col=id_col,
+        vec_col="embedding",
+        n_centroids=n_clusters,
+        iters=iters,
+        sample_cap=sample_cap,
+    )
 
 
 def assign_clusters(

@@ -180,3 +180,69 @@ def test_arrow_impl_java_whitespace_tokenization(spark):
     }
     assert a == b
     assert a[1][1] == 2  # "a\xa0b" is ONE token under Java \s
+
+
+def test_semdedup_train_assign_gate(spark):
+    """Train/assign split gate (VERDICT r4 item 6): centroids trained by
+    semdedup.train_centroids (bounded sample -> spherical k-means ->
+    broadcast literals) must reproduce the brute-force epsilon-ball drop
+    decisions on the fixture corpus with PERFECT precision (cluster
+    confinement can only miss cross-cluster pairs, never invent one) and
+    high recall (the paper's premise: near-dups land in the same coarse
+    cluster)."""
+    import numpy as np
+
+    from globalign_spark.ops import semdedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    thr = 0.9
+
+    # provisioning rule: k scales linearly, clamped
+    n = d.count()
+    k = semdedup.provision_cluster_count(n, target_cluster_size=50)
+    assert 8 <= k <= 200_000 and k == max(8, round(n / 50))
+    assert semdedup.provision_cluster_count(55_000_000) == 110_000  # paper
+    assert semdedup.provision_cluster_count(10) == 8  # floor
+    assert semdedup.provision_cluster_count(10**12) == 200_000  # ceiling
+
+    cents = semdedup.train_centroids(
+        d, dim=64, n_clusters=k, target_cluster_size=50
+    )
+    assert len(cents) == k and len(cents[0]) == 64
+
+    out = semdedup.semantic_dedup(d, cents, threshold=thr).collect()
+    dropped = {r.doc_id for r in out if not r.kept}
+
+    # Brute-force truth on the collected embeddings (500 x 64 — trivial):
+    # a doc should drop iff some LOWER-id doc is within its epsilon-ball.
+    emb = (
+        E.embed_corpus(d, dim=64)
+        .select("doc_id", "embedding")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    ids = emb["doc_id"].to_numpy()
+    X = np.array([list(v) for v in emb["embedding"]], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    sims = (X @ X.T) / np.maximum(np.outer(norms, norms), 1e-300)
+    should_drop = set()
+    for i in range(len(ids)):
+        for j in range(i):
+            if np.floor(sims[i, j] * 1e6 + 0.5) / 1e6 >= thr:
+                should_drop.add(int(ids[i]))
+                break
+    assert should_drop, "fixture must contain epsilon-ball near-dups"
+
+    # precision 1.0 by construction; recall is the trained-quantizer gate
+    assert dropped <= should_drop
+    recall = len(dropped & should_drop) / len(should_drop)
+    assert recall >= 0.9, (recall, len(should_drop), len(dropped))
+
+    # the knob's measured tradeoff: doubling k (halving cluster size)
+    # halves the quadratic per-cluster cost but sheds some cross-cluster
+    # recall — it must stay bounded, and precision stays perfect
+    cents2 = semdedup.train_centroids(d, dim=64, n_clusters=2 * k)
+    out2 = semdedup.semantic_dedup(d, cents2, threshold=thr).collect()
+    dropped2 = {r.doc_id for r in out2 if not r.kept}
+    assert dropped2 <= should_drop
+    assert len(dropped2 & should_drop) / len(should_drop) >= 0.75

@@ -40,15 +40,19 @@ SEMDEDUP_CENTROIDS = [
 
 
 def main() -> None:
+    from globalign_spark.ops import semdedup
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # 24 = provision_cluster_count(the sf0.01 fixture's ~500 embedded
+    # docs, target ~20/cluster used for the frozen fixture constants);
+    # at-scale deployments pass no explicit count and let the
+    # provisioning rule size k from the corpus.
     n_centroids = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     spark = get_spark("freeze-semdedup", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    emb = embeddings.embed_corpus(docs, dim=64)
-    cents = similarity.kmeans_centroids(
-        emb, id_col="doc_id", vec_col="embedding",
-        n_centroids=n_centroids, iters=5,
+    cents = semdedup.train_centroids(
+        docs, dim=64, n_clusters=n_centroids, iters=5,
     )
     out = REPO / "globalign_spark" / "ops" / "semdedup_frozen.py"
     with out.open("w") as f:
