@@ -1316,8 +1316,11 @@ from r where rank <= {ANN_K}
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block_cap=None: the SQL twin is uncapped all-pairs; fixture blocks
+    # are bounded by construction (~corpus/labels). Production callers
+    # keep the 10k default skew guard.
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.25
+        _t(spark, sf_dir, "embeddings"), threshold=0.25, block_cap=None
     )
 
 
@@ -1386,9 +1389,10 @@ def q_embed_near_dup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), dim=TEXT_EMB_DIM,
         keep_cols=("source",),
     )
+    # block_cap=None: oracle twin is uncapped (see q_embedding_near_dup)
     return similarity.embedding_near_dup_pairs(
         emb, block_col="source", id_col="doc_id", vec_col="embedding",
-        threshold=TEXT_NEAR_DUP_THRESHOLD,
+        threshold=TEXT_NEAR_DUP_THRESHOLD, block_cap=None,
     )
 
 

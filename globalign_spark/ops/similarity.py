@@ -388,8 +388,15 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     materialize: bool = True,
+    block_cap: int | None = 10_000,
 ) -> DataFrame:
     """Within-block pairwise cosine >= threshold (embedding near-dup).
+
+    ``block_cap`` (default 10_000, the simhash guard's cap): blocks with
+    more members are EXCLUDED from the quadratic self-join — countable
+    via :func:`embedding_block_stats`, never silent. Pass None for
+    uncapped all-pairs semantics on corpora whose blocks are known
+    bounded (the oracle fixtures).
 
     ``materialize`` (default True) localCheckpoints the projected
     (block, id, vector, norm) frame before it feeds BOTH sides of the
@@ -407,6 +414,17 @@ def embedding_near_dup_pairs(
     ).withColumn("_n", norm(F.col("_v")))
     if materialize:
         g = g.localCheckpoint(eager=False)
+    if block_cap is not None:
+        # Same skew discipline as simhash_near_pairs / dedup_minhash_lsh:
+        # the self-join is quadratic in BLOCK size, and this op trusts the
+        # caller's block_col cardinality — a hot block (one mega-host, one
+        # boilerplate cluster) must not go quadratic silently. Over-cap
+        # blocks are excluded from the join; the loss is countable via
+        # :func:`embedding_block_stats` (never silent).
+        sizes = g.groupBy("_blk").agg(F.count("*").alias("_bsz"))
+        g = g.join(
+            sizes.where(F.col("_bsz") <= block_cap).drop("_bsz"), "_blk"
+        )
     a = g.select(
         "_blk",
         F.col("_id").alias("id_1"),
@@ -435,4 +453,26 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
         .select("id_1", "id_2", "cos_sim")
+    )
+
+
+def embedding_block_stats(
+    df: DataFrame, block_col: str = "label", block_cap: int = 10_000
+) -> DataFrame:
+    """Counted lineage for :func:`embedding_near_dup_pairs`'s block_cap
+    skew guard: how many blocks / member vectors the cap would exclude
+    (mirrors dedup.simhash_block_stats)."""
+    sizes = (
+        df.select(F.col(block_col).alias("_blk"))
+        .groupBy("_blk")
+        .agg(F.count("*").alias("bsz"))
+    )
+    return sizes.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("bsz") > block_cap, 1).otherwise(0)).alias(
+            "n_blocks_dropped"
+        ),
+        F.sum(
+            F.when(F.col("bsz") > block_cap, F.col("bsz")).otherwise(0)
+        ).alias("n_vecs_in_dropped"),
     )

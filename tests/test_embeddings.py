@@ -246,3 +246,30 @@ def test_semdedup_train_assign_gate(spark):
     dropped2 = {r.doc_id for r in out2 if not r.kept}
     assert dropped2 <= should_drop
     assert len(dropped2 & should_drop) / len(should_drop) >= 0.75
+
+
+def test_embedding_near_dup_block_cap(spark):
+    """VERDICT r4 item 8: a hot block must not go quadratic silently —
+    over-cap blocks are excluded from the self-join and the loss is
+    countable via embedding_block_stats."""
+    rows = [(i, "hot", [1.0, 0.0]) for i in range(5)] + [
+        (10, "cold", [0.0, 1.0]),
+        (11, "cold", [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    capped = similarity.embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.9, block_cap=4
+    ).collect()
+    assert {(r.id_1, r.id_2) for r in capped} == {(10, 11)}
+    uncapped = similarity.embedding_near_dup_pairs(
+        df, block_col="label", threshold=0.9, block_cap=None
+    )
+    assert uncapped.count() == 10 + 1  # C(5,2) hot + 1 cold
+    stats = similarity.embedding_block_stats(
+        df, block_col="label", block_cap=4
+    ).first()
+    assert stats.n_blocks == 2
+    assert stats.n_blocks_dropped == 1
+    assert stats.n_vecs_in_dropped == 5
