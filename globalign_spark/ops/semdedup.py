@@ -64,6 +64,7 @@ def train_centroids(
     target_cluster_size: int = 500,
     sample_cap: int = 100_000,
     iters: int = 5,
+    embed_impl: str = "expr",
 ) -> list[list[float]]:
     """TRAIN stage of the SemDeDup train/assign split (same shape as the
     IVF quantizer's): embed the corpus (zero-shuffle map), pull a bounded
@@ -81,7 +82,9 @@ def train_centroids(
         n_clusters = provision_cluster_count(
             df.count(), target_cluster_size=target_cluster_size
         )
-    emb = embed_corpus(df, id_col=id_col, text_col=text_col, dim=dim)
+    emb = embed_corpus(
+        df, id_col=id_col, text_col=text_col, dim=dim, impl=embed_impl
+    )
     return kmeans_centroids(
         emb,
         id_col=id_col,
@@ -137,6 +140,7 @@ def semantic_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = DEFAULT_DIM,
+    embed_impl: str = "expr",
 ) -> DataFrame:
     """(id, cid, max_sim_lower, kept): per-document SemDeDup decision.
 
@@ -146,7 +150,11 @@ def semantic_dedup(
     (cosine >= threshold). Downstream keeps ``where kept`` rows; the
     drop mass per cluster is the curation report's input.
     """
-    emb = embed_corpus(df, id_col=id_col, text_col=text_col, dim=dim)
+    # embed_impl="arrow" is the production choice at dim >= 256 (identical
+    # vectors, O(tokens + dim)/row — see ops/embeddings.embed_corpus).
+    emb = embed_corpus(
+        df, id_col=id_col, text_col=text_col, dim=dim, impl=embed_impl
+    )
     assign = assign_clusters(emb, centroids, id_col=id_col)
     # `assign` (per-token embed fold + 24-centroid crossJoin + row_number
     # window) feeds THREE plan branches: both self-join sides and the final

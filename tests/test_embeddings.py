@@ -247,6 +247,12 @@ def test_semdedup_train_assign_gate(spark):
     assert dropped2 <= should_drop
     assert len(dropped2 & should_drop) / len(should_drop) >= 0.75
 
+    # the production arrow embed path yields the identical decision set
+    out3 = semdedup.semantic_dedup(
+        d, cents, threshold=thr, embed_impl="arrow"
+    ).collect()
+    assert {r.doc_id for r in out3 if not r.kept} == dropped
+
 
 def test_embedding_near_dup_block_cap(spark):
     """VERDICT r4 item 8: a hot block must not go quadratic silently —
