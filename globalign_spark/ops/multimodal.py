@@ -502,12 +502,120 @@ class JpegDecodeBackend(DecodeBackend):
         return out, (h, w), len(scan)
 
 
+# IMA/DVI ADPCM constants (IMA Digital Audio Focus Group, "Recommended
+# Practices for Enhancing Digital Audio Compatibility", 1992; the same
+# tables stdlib audioop ships, which the unit tests cross-validate
+# against as an independent implementation).
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_decode_nibbles(
+    nibbles, predictor: int, index: int
+) -> tuple[list[int], int, int]:
+    """Decode a sequence of 4-bit IMA ADPCM codes given the running
+    (predictor, step index) state; returns (samples, predictor, index).
+    Sequential by construction (each sample feeds the next prediction),
+    so it stays a Python loop — per-document audio is bounded, and the
+    Spark path batches documents, not samples."""
+    out = []
+    for nib in nibbles:
+        step = _IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        out.append(predictor)
+        index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+    return out, predictor, index
+
+
+def _wav_chunks(blob: bytes) -> dict[bytes, bytes]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, chunks = 12, {}
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        sz = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        chunks.setdefault(cid, blob[pos + 8 : pos + 8 + sz])
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    return chunks
+
+
+def _ima_adpcm_pcm(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV IMA ADPCM (wFormatTag 0x11) blob to mono float64 in
+    [-1, 1) + sample rate. Block layout per RFC-less-but-universal WAV
+    practice: per channel a 4-byte header (int16 first sample, uint8
+    step index, uint8 reserved), then interleaved 4-byte per-channel
+    words of nibbles, LOW nibble first within each byte."""
+    import struct
+
+    chunks = _wav_chunks(blob)
+    fmt = chunks[b"fmt "]
+    tag, nch, rate, _, block_align, _ = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 0x11:
+        raise ValueError(f"not IMA ADPCM (fmt tag {tag:#x})")
+    if nch < 1 or block_align < 4 * nch:
+        raise ValueError(f"IMA ADPCM: bad nch={nch}/block_align={block_align}")
+    data = chunks[b"data"]
+    per_ch: list[list[int]] = [[] for _ in range(nch)]
+    for b0 in range(0, len(data) - 4 * nch + 1, block_align):
+        block = data[b0 : b0 + block_align]
+        states = []
+        for c in range(nch):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            idx = min(88, block[4 * c + 2])
+            per_ch[c].append(pred)  # the header carries sample 0 verbatim
+            states.append((pred, idx))
+        # nibble payload: 4-byte words round-robin across channels
+        for w0 in range(4 * nch, len(block) - 3, 4):
+            c = ((w0 - 4 * nch) // 4) % nch
+            nibs = []
+            for byte in block[w0 : w0 + 4]:
+                nibs.append(byte & 0x0F)
+                nibs.append(byte >> 4)
+            samples, pred, idx = _ima_decode_nibbles(nibs, *states[c])
+            states[c] = (pred, idx)
+            per_ch[c].extend(samples)
+    n = min(len(ch) for ch in per_ch)
+    x = np.array([ch[:n] for ch in per_ch], dtype=np.float64) / 32768.0
+    return x.mean(axis=0), rate
+
+
 class WavDecodeBackend(DecodeBackend):
     """REAL audio decode with the standard library only: WAV PCM (8/16
-    bit, any channel count) via the ``wave`` module -> mono float signal
+    bit, any channel count) via the ``wave`` module, plus WAV IMA ADPCM
+    (wFormatTag 0x11, the classic 4:1 compressed telephony/game codec)
+    via a from-scratch block decoder cross-validated against stdlib
+    audioop's independent IMA implementation -> mono float signal
     -> 16-dim features: 8 windowed RMS energies (time envelope) + 8
     octave-ish FFT band energies (spectrum), L1-normalized. Deterministic;
     no external codec."""
+
+    @staticmethod
+    def _fmt_tag(blob: bytes) -> int | None:
+        try:
+            fmt = _wav_chunks(blob).get(b"fmt ")
+        except ValueError:
+            return None
+        if fmt is None or len(fmt) < 2:
+            return None
+        return int.from_bytes(fmt[:2], "little")
 
     def decode(self, kind: str, blob: bytes) -> np.ndarray:
         if kind not in ("", "audio"):
@@ -515,17 +623,21 @@ class WavDecodeBackend(DecodeBackend):
         import io
         import wave
 
-        with wave.open(io.BytesIO(blob)) as wf:
-            nch = wf.getnchannels()
-            sw = wf.getsampwidth()
-            nframes = wf.getnframes()
-            frames = wf.readframes(nframes)
-        if sw == 2:
-            x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
-        elif sw == 1:
-            x = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+        if self._fmt_tag(blob) == 0x11:
+            x, _rate = _ima_adpcm_pcm(blob)
+            nch = 1
         else:
-            raise NotImplementedError(f"WAV: sample width {sw} unsupported")
+            with wave.open(io.BytesIO(blob)) as wf:
+                nch = wf.getnchannels()
+                sw = wf.getsampwidth()
+                nframes = wf.getnframes()
+                frames = wf.readframes(nframes)
+            if sw == 2:
+                x = np.frombuffer(frames, "<i2").astype(np.float64) / 32768.0
+            elif sw == 1:
+                x = (np.frombuffer(frames, np.uint8).astype(np.float64) - 128.0) / 128.0
+            else:
+                raise NotImplementedError(f"WAV: sample width {sw} unsupported")
         if nch > 1:
             x = x.reshape(-1, nch).mean(axis=1)
         if x.size == 0:

@@ -690,3 +690,91 @@ def test_pairs_from_band_rows_probe_mode(docs, spark):
     want = {p for p in full if p[0] in probe_set or p[1] in probe_set}
     assert got == want and got  # non-empty on this corpus
     assert all(a < b for a, b in got)
+
+
+def _wrap_ima_wav(adpcm_per_ch: list[bytes], rate: int = 8000) -> bytes:
+    """Build a WAV IMA ADPCM (fmt 0x11) file whose blocks start from
+    state (predictor=0, index=0) and carry the given per-channel
+    audioop-packed nibble streams. audioop packs HIGH nibble first;
+    WAV IMA wants LOW nibble first, so repack."""
+    import struct
+
+    nch = len(adpcm_per_ch)
+    repacked = [
+        bytes(((b >> 4) | ((b & 0x0F) << 4)) for b in ch)
+        for ch in adpcm_per_ch
+    ]
+    n = min(len(ch) for ch in repacked)
+    n -= n % 4  # whole 4-byte words only
+    words = b""
+    for w0 in range(0, n, 4):
+        for c in range(nch):
+            words += repacked[c][w0 : w0 + 4]
+    header = b"".join(
+        struct.pack("<hBB", 0, 0, 0) for _ in range(nch)
+    )  # predictor 0, index 0 per channel
+    block = header + words
+    block_align = len(block)
+    samples_per_block = 1 + (block_align - 4 * nch) * 2 // nch
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, nch, rate, rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(block)) + block
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def test_ima_adpcm_matches_audioop_reference():
+    """From-scratch WAV IMA ADPCM decode vs stdlib audioop's independent
+    IMA implementation: same nibbles, same initial state -> identical
+    int16 samples (tables + predictor recursion cross-validated, not just
+    round-tripped against ourselves)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    pcm = (
+        (np.sin(np.arange(4000) * 0.13) * 12000 + rng.integers(-500, 500, 4000))
+        .astype("<i2")
+        .tobytes()
+    )
+    adpcm, _state = audioop.lin2adpcm(pcm, 2, None)
+    blob = _wrap_ima_wav([adpcm])
+    x, rate = multimodal._ima_adpcm_pcm(blob)
+    got = np.round(x * 32768.0).astype(np.int64)
+
+    ref_pcm = audioop.adpcm2lin(adpcm, 2, (0, 0))[0]
+    ref = np.frombuffer(ref_pcm, "<i2").astype(np.int64)
+    n = min(len(got) - 1, len(ref))
+    assert rate == 8000
+    assert got[0] == 0  # block-header sample
+    assert np.array_equal(got[1 : 1 + n], ref[:n])
+    assert n >= 3990
+
+
+def test_ima_adpcm_stereo_and_dispatch():
+    """Stereo IMA blocks (interleaved 4-byte channel words) decode and
+    downmix; KindDispatchBackend routes the 0x11 fmt tag through the
+    real decoder (features, no decode_error)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    t = np.arange(2048)
+    left = (np.sin(t * 0.05) * 9000).astype("<i2").tobytes()
+    right = (np.sin(t * 0.21) * 7000).astype("<i2").tobytes()
+    a_l, _ = audioop.lin2adpcm(left, 2, None)
+    a_r, _ = audioop.lin2adpcm(right, 2, None)
+    blob = _wrap_ima_wav([a_l, a_r])
+    x, _ = multimodal._ima_adpcm_pcm(blob)
+    ref_l = np.frombuffer(audioop.adpcm2lin(a_l, 2, (0, 0))[0], "<i2")
+    ref_r = np.frombuffer(audioop.adpcm2lin(a_r, 2, (0, 0))[0], "<i2")
+    n = min(x.size - 1, ref_l.size, ref_r.size)
+    expect = (ref_l[:n].astype(np.float64) + ref_r[:n]) / 2.0 / 32768.0
+    assert np.allclose(x[1 : 1 + n], expect, atol=1e-12)
+
+    feats = multimodal.KindDispatchBackend().decode("audio", blob)
+    assert feats.shape == (16,) and feats.sum() == pytest.approx(1.0)
