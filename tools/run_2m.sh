@@ -30,28 +30,55 @@ SAMPLER=$!
 trap "kill $SAMPLER 2>/dev/null" EXIT
 
 start=$(date +%s)
+# periodicGC: shuffle files are only deleted when their RDDs are GC'd on
+# the driver; at 1M+ pages the scoring shuffles outlive their stages long
+# enough to exhaust the sandbox disk (measured: 80 GB gone in 16 min).
+# A 2-min forced driver GC caps live scratch at the working set.
+# zstd shuffle compression: the candidate-pair shuffles carry url+text
+# strings; zstd packs them ~2x tighter than the lz4 default, and at 1M
+# pages that is the difference between ~95 GB of live shuffle (which
+# does not fit this sandbox's 80 GB free) and fitting comfortably. CPU
+# cost is noise next to the alignment kernel.
 spark-submit --master "local[32]" --driver-memory 48g \
+  --conf spark.cleaner.periodicGC.interval=2min \
+  --conf spark.io.compression.codec=zstd \
   /root/repo/globalign_spark/main.py \
   --warehouse "$WH" --n-entities "$N" --evaluate \
   --shuffle-partitions 256 \
+  ${EXTRA_ARGS:-} \
   > "$LOG" 2>&1
 rc=$?
 end=$(date +%s)
 echo "spark-submit rc=$rc wall=$((end-start))s"
 # main.py prints the summary JSON at the end of its log
 python3 - "$LOG" "$OUT" "$((end-start))" <<'EOF'
-import json, re, sys
+import json, sys
 log, out, wall = sys.argv[1], sys.argv[2], int(sys.argv[3])
 txt = open(log, errors="replace").read()
-m = re.search(r"^\{.*\}\s*$", txt, re.S | re.M)
+# Brace-match from the LAST line-initial "{": trailing executor-shutdown
+# INFO lines after the summary made a naive to-EOF slice unparseable
+# (hit for real on the round-5 1M run).
 start = txt.rfind("\n{")
-blob = txt[start + 1:] if start != -1 else "{}"
-try:
-    summary = json.loads(blob)
-except Exception:
-    summary = {"parse_error": blob[-500:]}
+summary = {"parse_error": "no JSON found"}
+if start != -1:
+    blob = txt[start + 1:]
+    depth, end = 0, None
+    for i, ch in enumerate(blob):
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                end = i + 1
+                break
+    try:
+        summary = json.loads(blob[:end])
+    except Exception:
+        summary = {"parse_error": blob[:500]}
 summary["wall_sec_total"] = wall
 json.dump(summary, open(out, "w"), indent=2)
-print(json.dumps({k: summary.get(k) for k in ("f1", "precision", "recall", "wall_sec_total")}))
+ev = summary.get("eval") or {}
+print(json.dumps({"f1": ev.get("f1"), "precision": ev.get("precision"),
+                  "recall": ev.get("recall"), "wall_sec_total": wall}))
 EOF
 exit $rc
