@@ -39,7 +39,7 @@ start=$(date +%s)
 # pages that is the difference between ~95 GB of live shuffle (which
 # does not fit this sandbox's 80 GB free) and fitting comfortably. CPU
 # cost is noise next to the alignment kernel.
-spark-submit --master "local[32]" --driver-memory 48g \
+spark-submit --master "local[32]" --driver-memory "${DRIVER_MEM:-48g}" \
   --conf spark.cleaner.periodicGC.interval=2min \
   --conf spark.io.compression.codec=zstd \
   /root/repo/globalign_spark/main.py \
